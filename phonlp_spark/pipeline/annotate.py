@@ -1,0 +1,183 @@
+"""The Arrow-vectorized annotation stage and its exploded views.
+
+Spark lifecycle (SURVEY.md §3.1): sentence rows -> optional salted
+repartition (skew) -> ONE mapInPandas stage that fuses encode + POS +
+NER-Viterbi + biaffine + MST + BIOES mention decode + triple rules
+(reference steps phonlp/annotate_model.py:230-293 collapsed into one
+Arrow hop; keys travel with rows so the reference's two-level
+sort/unsort, annotate_model.py:270-293, is unnecessary) -> JVM-side
+explodes for the annotation/mention/triple long tables.
+
+No per-row Python anywhere: the kernel consumes whole Arrow batches and
+is itself batch-vectorized (length-bucketed padding inside).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MENTION_TYPE = T.StructType([
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+TRIPLE_TYPE = T.StructType([
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("subj_type", T.StringType()),
+    T.StructField("obj_type", T.StringType()),
+    T.StructField("rule", T.StringType()),
+])
+
+ANNOTATED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("span_idx", T.IntegerType()),
+    T.StructField("sent_id", T.IntegerType()),
+    T.StructField("tokens", T.ArrayType(T.StringType())),
+    T.StructField("upos", T.ArrayType(T.StringType())),
+    T.StructField("ner", T.ArrayType(T.StringType())),
+    T.StructField("head", T.ArrayType(T.IntegerType())),
+    T.StructField("deprel", T.ArrayType(T.StringType())),
+    T.StructField("mentions", T.ArrayType(MENTION_TYPE)),
+    T.StructField("triples", T.ArrayType(TRIPLE_TYPE)),
+])
+
+
+def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # one kernel (weights + memoized encoder) per executor python worker
+    from phonlp_spark.kernel.annotate import default_kernel
+
+    kernel = default_kernel()
+    for pdf in batches:
+        sentences = [list(t) for t in pdf["tokens"]]
+        anns = kernel.annotate(sentences)
+        out = pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "span_idx": pdf["span_idx"].values,
+            "sent_id": pdf["sent_id"].values,
+            "tokens": [a["tokens"] for a in anns],
+            "upos": [a["upos"] for a in anns],
+            "ner": [a["ner"] for a in anns],
+            "head": [a["head"] for a in anns],
+            "deprel": [a["deprel"] for a in anns],
+            "mentions": [
+                [{"start": s, "end": e, "type": t, "text": x}
+                 for (s, e, t, x) in a["mentions"]]
+                for a in anns
+            ],
+            "triples": [
+                [{"subj": s, "pred": p, "obj": o,
+                  "subj_type": st, "obj_type": ot, "rule": r}
+                 for (s, p, o, st, ot, r) in a["triples"]]
+                for a in anns
+            ],
+        })
+        yield out
+
+
+def annotate_sentences_df(sentences: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """sentences (doc_id, span_idx, sent_id, tokens) -> annotated rows.
+
+    ``salt_partitions``: hash-repartition sentence rows before the
+    kernel so a mega-document cannot pin one executor (north rule skew
+    handling — the doc was already split to sentence grain, this
+    spreads those sentences).  Leave None to keep the upstream
+    partitioning (no shuffle).
+    """
+    if salt_partitions:
+        sentences = sentences.repartition(salt_partitions, F.xxhash64("doc_id", "span_idx"))
+    return sentences.mapInPandas(_annotate_batches, schema=ANNOTATED_SCHEMA)
+
+
+def annotations_long(annotated: DataFrame) -> DataFrame:
+    """Token-level long table — the reference's 6-column TSV as a
+    DataFrame (index, word, posTag, nerLabel, headIndex, depLabel;
+    phonlp/annotate_model.py:323-337) keyed by (doc_id, sent_id)."""
+    z = F.arrays_zip("tokens", "upos", "ner", "head", "deprel")
+    ex = annotated.select("doc_id", "sent_id", F.posexplode(z).alias("i", "t"))
+    return ex.select(
+        "doc_id",
+        "sent_id",
+        (F.col("i") + 1).cast("int").alias("token_id"),
+        F.col("t.tokens").alias("word"),
+        F.col("t.upos").alias("upos"),
+        F.col("t.ner").alias("ner"),
+        F.col("t.head").alias("head"),
+        F.col("t.deprel").alias("deprel"),
+    )
+
+
+def mentions_df(annotated: DataFrame) -> DataFrame:
+    ex = annotated.select("doc_id", "sent_id", F.explode("mentions").alias("m"))
+    return ex.select(
+        "doc_id", "sent_id",
+        F.col("m.start").alias("start"), F.col("m.end").alias("end"),
+        F.col("m.type").alias("type"), F.col("m.text").alias("text"),
+    )
+
+
+def triples_df(annotated: DataFrame) -> DataFrame:
+    ex = annotated.select("doc_id", "sent_id", F.explode("triples").alias("t"))
+    return ex.select(
+        "doc_id", "sent_id",
+        F.col("t.subj").alias("subj"), F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"), F.col("t.subj_type").alias("subj_type"),
+        F.col("t.obj_type").alias("obj_type"), F.col("t.rule").alias("rule"),
+    )
+
+
+def reassemble_documents(documents: DataFrame, annotated: DataFrame) -> DataFrame:
+    """Rebuild the documents table from pipeline outputs, preserving the
+    span sequence byte-for-byte (per-row invariant: kind, text,
+    media_ref, order — BASELINE.json input_hint).
+
+    Media spans pass through from the source; text spans are re-joined
+    from the annotated token arrays at their original offsets.
+    """
+    rebuilt_text = annotated.select(
+        "doc_id",
+        F.col("span_idx").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.array_join("tokens", " ").alias("text"),
+        F.lit("").alias("media_ref"),
+    )
+    media = (
+        documents.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "text")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"))
+    )
+    empty_text = (
+        documents.select("doc_id", F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "text") & (F.length("s.text") == 0))
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"))
+    )
+    all_spans = rebuilt_text.unionByName(media).unionByName(empty_text)
+    return (
+        all_spans.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref"),
+        ))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.transform(
+                "ordered",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"), s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric", "value" (total wall sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus docs/sec for the KG pipeline}.
+
+Scaling mode (`python bench.py --scaling`): run the identical KG job at
+local[8] and local[32] in fresh subprocesses on the same input and
+write throughput + efficiency evidence to BENCH/BASELINE.md — the
+sandbox stand-in for the N->4N executor scaling rule (no real cluster
+here; parallelism is the controlled variable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def _kg_pipeline(spark, sf_dir: str):
+    """The flagship job: documents -> annotate -> triples -> link ->
+    CC -> canonical edges; returns (n_docs, n_edges)."""
+    from pyspark.sql import functions as F
+
+    from phonlp_spark.pipeline.annotate import (
+        annotate_sentences_df, mentions_df, triples_df)
+    from phonlp_spark.pipeline.ingest import (
+        interleave_documents, split_sentences)
+    from phonlp_spark.pipeline.linking import build_alias_dict
+    from phonlp_spark.pipeline.materialize import build_graph
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = interleave_documents(flat)
+    # salt to one partition per core: the input parquet is a single
+    # split, and the kernel stage must fan out (skew rule)
+    nslots = spark.sparkContext.defaultParallelism
+    annotated = annotate_sentences_df(split_sentences(docs),
+                                      salt_partitions=nslots * 2).cache()
+    mentions = mentions_df(annotated).cache()
+    names = [
+        r["text"].replace(" ", "_")
+        for r in mentions.groupBy("text").count()
+        .orderBy(F.col("count").desc(), F.col("text")).limit(40).collect()
+    ]
+    alias = build_alias_dict(spark, names)
+    _l, _n, edges = build_graph(mentions, triples_df(annotated), alias)
+    n_edges = edges.count()
+    n_docs = flat.count()
+    annotated.unpersist()
+    return n_docs, n_edges
+
+
+def run_suite(master: str, sf_dir: str) -> dict:
+    from phonlp_spark.pipeline.session import get_spark
+
+    spark = get_spark(master=master, app_name="phonlp_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = ["kg_sentences", "kg_vocab", "dedup_lsh_pairs", "dedup_jaccard",
+                "ann_cosine_topk", "text_quality", "tpch_pricing",
+                "tpch_top_customers", "events_hourly", "kg_components"]
+    times: dict[str, float] = {}
+
+    t0 = time.time()
+    n_docs, n_edges = _kg_pipeline(spark, sf_dir)
+    times["kg_pipeline_e2e"] = round(time.time() - t0, 3)
+    docs_per_sec = round(n_docs / times["kg_pipeline_e2e"], 2)
+
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(sf_dir),
+        "kg_docs": n_docs,
+        "kg_edges": n_edges,
+        "kg_docs_per_sec": docs_per_sec,
+        "master": master,
+    }
+    spark.stop()
+    return out
+
+
+def _scaling_child(master: str, sf_dir: str) -> dict:
+    """Run ONLY the KG pipeline in this process; print one JSON line."""
+    from phonlp_spark.pipeline.session import get_spark
+
+    spark = get_spark(master=master, app_name="phonlp_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n_docs, n_edges = _kg_pipeline(spark, sf_dir)
+    wall = time.time() - t0
+    spark.stop()
+    return {"master": master, "wall_sec": round(wall, 3), "docs": n_docs,
+            "edges": n_edges, "docs_per_sec": round(n_docs / wall, 2)}
+
+
+def run_scaling(sf_dir: str) -> None:
+    results = []
+    for n in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", f"local[{n}]", sf_dir],
+            capture_output=True, text=True, check=True)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    r8, r32 = results
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling evidence (N -> 4N parallelism)
+
+North rule: throughput scaling efficiency >= 0.8 from N to 4N
+executors, evidenced in-sandbox by the identical KG job at local[8] vs
+local[32] on the same input ({sf_dir}).
+
+| master | docs | edges | wall (s) | docs/sec |
+|---|---|---|---|---|
+| local[8]  | {r8['docs']} | {r8['edges']} | {r8['wall_sec']} | {r8['docs_per_sec']} |
+| local[32] | {r32['docs']} | {r32['edges']} | {r32['wall_sec']} | {r32['docs_per_sec']} |
+
+speedup 8->32 threads: {r32['docs_per_sec'] / r8['docs_per_sec']:.2f}x
+scaling efficiency (speedup / 4): {eff:.3f}
+target: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"}
+
+Output parity: both runs produced identical edge counts
+({r8['edges']} == {r32['edges']}: {r8['edges'] == r32['edges']}).
+""")
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "runs": results}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_scaling_child(sys.argv[2], sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
+    else:
+        print(json.dumps(run_suite(f"local[{CPUS}]", SF_DIR)))

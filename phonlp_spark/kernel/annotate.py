@@ -79,20 +79,50 @@ def _log_softmax_rows(x: np.ndarray) -> np.ndarray:
     return x - (m + np.log(z.sum(axis=1, keepdims=True)))
 
 
-def _biaffine_scores(hid: np.ndarray, bf: Biaffine) -> np.ndarray:
-    """hid [B,W,D] -> scores [B,W,W,out] (dep axis first, head axis second)."""
+def _biaffine_proj(hid: np.ndarray, bf: Biaffine):
+    """Input MLPs + bias feature: hid [B,W,D] -> (h1 [B,W,K], h2 [B,W,L])."""
     h1 = _relu(hid @ bf.w1 + bf.b1)
     h2 = _relu(hid @ bf.w2 + bf.b2)
     ones = np.ones((*h1.shape[:2], 1), dtype=h1.dtype)
-    h1 = np.concatenate([h1, ones], axis=2)
-    h2 = np.concatenate([h2, ones], axis=2)
-    return np.einsum("bik,kle,bjl->bije", h1, bf.u, h2, optimize=True)
+    return (np.concatenate([h1, ones], axis=2),
+            np.concatenate([h2, ones], axis=2))
+
+
+def _biaffine_grid(hid: np.ndarray, bf: Biaffine) -> np.ndarray:
+    """Full pairwise grid for a SCALAR scorer: -> [B, W(dep), W(head)].
+
+    Two BLAS matmuls (same factorization as the reference's
+    PairwiseBilinear broadcast trick, biaffine.py:27-35); used for the
+    arc / linearization / distance scorers (out=1).
+    """
+    h1, h2 = _biaffine_proj(hid, bf)
+    B, W, K = h1.shape
+    t = (h1.reshape(B * W, K) @ bf.u[:, :, 0]).reshape(B, W, -1)  # [B,W,L]
+    return t @ h2.transpose(0, 2, 1)                              # [B,W,W]
+
+
+def _biaffine_at(h1g: np.ndarray, h2g: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Label scores at SELECTED (dep, head) pairs only.
+
+    h1g [N,K] gathered dep rows, h2g [N,L] gathered head rows ->
+    [N, out].  The full [B,W,W,out] label grid is never materialized:
+    the decode needs labels only along the MST arcs
+    (reference gathers the same way at annotate_model.py:263-266,
+    after an argmax over the full grid — we skip the grid entirely,
+    which changes nothing because argmax commutes with the gather).
+    """
+    n, k = h1g.shape
+    e = u.shape[2]
+    t = (h1g @ u.reshape(k, -1)).reshape(n, u.shape[1], e)  # [N, L, E]
+    return (t * h2g[:, :, None]).sum(axis=1)
 
 
 class AnnotationKernel:
     """Holds weights/vocabs/encoder; one instance per executor process."""
 
     def __init__(self, weights: ModelWeights | None = None, seed: int = 42, enc_dim: int = 64):
+        from phonlp_spark.kernel.runtime import tune_worker_runtime
+        tune_worker_runtime()
         self.weights = weights if weights is not None else seeded_weights(seed, enc_dim)
         self.vocabs = default_vocabs()
         self.encoder = HashedNgramEncoder(dim=enc_dim, seed=seed)
@@ -147,10 +177,9 @@ class AnnotationKernel:
         # DEP branch (ROOT row included)
         x_dep = np.concatenate([emb, pos_dis @ w.upos_emb_dep], axis=-1)
         hid = x_dep @ w.dep_w + w.dep_b
-        arc = _biaffine_scores(hid, w.arc)[..., 0]      # [B, W, W]
-        rel = _biaffine_scores(hid, w.rel) + self.mask_rel
-        lin = _biaffine_scores(hid, w.lin)[..., 0]
-        dist = _biaffine_scores(hid, w.dist)[..., 0]
+        arc = _biaffine_grid(hid, w.arc)                # [B, Wdep, Whead]
+        lin = _biaffine_grid(hid, w.lin)
+        dist = _biaffine_grid(hid, w.dist)
 
         pos_idx = np.arange(W, dtype=np.float32)
         off = pos_idx[None, :] - pos_idx[:, None]       # off[dep, head] = head - dep
@@ -160,14 +189,28 @@ class AnnotationKernel:
         bi = np.arange(W)
         arc[:, bi, bi] = -np.inf
 
-        rel_ids = rel.argmax(axis=-1)                   # [B, W, W]
+        # MST per sentence, then label only the chosen arcs (batched)
+        all_heads: list[np.ndarray] = []
+        for i in range(len(sentences)):
+            n = int(lengths[i])
+            adj = _log_softmax_rows(arc[i, : n + 1, : n + 1])
+            all_heads.append(mst_single_root(adj)[1:].astype(np.int64))
+
+        h1r, h2r = _biaffine_proj(hid, w.rel)
+        b_idx = np.repeat(np.arange(len(sentences)), lengths)
+        dep_pos = np.concatenate([np.arange(1, n + 1) for n in lengths])
+        head_pos = np.concatenate(all_heads) if all_heads else np.zeros(0, np.int64)
+        rel_scores = _biaffine_at(h1r[b_idx, dep_pos], h2r[b_idx, head_pos],
+                                  w.rel.u) + self.mask_rel
+        rel_flat = rel_scores.argmax(axis=1)
+        bounds = np.cumsum(lengths)[:-1]
+        rel_per_sent = np.split(rel_flat, bounds)
 
         results = []
         for i, sent in enumerate(sentences):
             n = int(lengths[i])
-            adj = _log_softmax_rows(arc[i, : n + 1, : n + 1])
-            heads = mst_single_root(adj)[1:].astype(int).tolist()
-            deprel = v["deprel"].unmap(rel_ids[i, 1 + np.arange(n), heads])
+            heads = all_heads[i].tolist()
+            deprel = v["deprel"].unmap(rel_per_sent[i])
             upos = v["upos"].unmap(pos_ids[i, 1 : n + 1])
             ner = v["ner_tag"].unmap(ner_ids[i, :n])
             mentions = [

@@ -1,0 +1,131 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is built on md5 hex substrings cast to bigint so the exact
+same arithmetic is expressible in ANSI SQL (DuckDB oracles) — no
+engine-specific hash functions cross the parity boundary.  Everything
+below is pure built-in expressions (JVM-side, WholeStageCodegen); no
+Python UDFs.
+
+Scale shapes:
+- exact dedup: one hash-aggregate on a 64-bit digest (not raw text);
+- Jaccard: shingle explode -> equi-join on shingle -> count ratio; the
+  shingle join is the classic candidate generator, skew-guarded by
+  dropping ultra-frequent shingles (stop-shingles);
+- MinHash/LSH: signatures are per-row aggregates (no shuffle), banding
+  joins only collide candidates — the 100TB-safe near-dup pattern;
+- SimHash: per-row bit aggregate, one groupBy on the 16-bit key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+LSH_BAND = 2  # 4 bands of 2 hashes
+SIMHASH_BITS = 16
+
+
+def _h64(col: Column) -> Column:
+    """Portable 60-bit hash: bigint from the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """One survivor (min key) per distinct text; group sizes included."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(key_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_id", "n_dupes")
+    )
+
+
+def token_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """(key, shingle) distinct token n-grams, built JVM-side."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(key_col).alias("key"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
+                  text_col: str = "text", key_col: str = "doc_id",
+                  max_shingle_freq: int = 1000) -> DataFrame:
+    """Candidate pairs with integer-exact Jaccard filter.
+
+    Emits (a, b, common, na, nb) for pairs whose Jaccard(3-gram sets)
+    >= min_pct/100, evaluated as 100*common >= min_pct*(na+nb-common)
+    (integers only — float-free so oracles hash identically).
+    Shingles occurring in > max_shingle_freq docs are dropped
+    (stop-shingle skew guard).
+    """
+    sh = token_shingles(docs, n, text_col, key_col)
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")) \
+            .filter(F.col("df") > max_shingle_freq).select("shingle")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("l").join(sh.alias("r"), "shingle")
+        .filter(F.col("l.key") < F.col("r.key"))
+        .groupBy(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("key", "a").withColumnRenamed("sz", "na"), "a")
+        .join(sizes.withColumnRenamed("key", "b").withColumnRenamed("sz", "nb"), "b")
+        .filter(F.lit(100) * F.col("common")
+                >= F.lit(min_pct) * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("a", "b", "common", "na", "nb")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """(key, mh0..mh{N-1}): per-doc min over salted shingle hashes."""
+    sh = token_shingles(docs, n, text_col, key_col)
+    aggs = [
+        F.min(_h64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("key").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
+                        key_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: docs sharing any LSH band bucket."""
+    sig = minhash_signatures(docs, n, text_col, key_col)
+    bands = []
+    for b in range(N_MINHASH // LSH_BAND):
+        cols = [F.col(f"mh{b * LSH_BAND + j}") for j in range(LSH_BAND)]
+        bands.append(sig.select(
+            "key", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket")))
+    buck = bands[0]
+    for df in bands[1:]:
+        buck = buck.unionByName(df)
+    return (
+        buck.alias("l").join(buck.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.key") < F.col("r.key"))
+        .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """(key, simhash): 16-bit sign-aggregated token fingerprint."""
+    tok = docs.select(F.col(key_col).alias("key"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = _h64(F.col("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("key").agg(*bit_sums)
+    sim = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("key", sim.alias("simhash"))

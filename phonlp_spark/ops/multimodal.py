@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: media spans as opaque binary + metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic stub behind the real Spark plumbing (schema, batch shape,
+partitioning): `mapInPandas` over binary payloads with typed outputs.
+Swap `_fake_decode` for a real pillow/ffmpeg call in production — the
+Spark side does not change.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURE_DIM = 8
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def media_spans(documents: DataFrame) -> DataFrame:
+    """Explode non-text spans: (doc_id, span_idx, kind, media_ref)."""
+    ex = documents.select("doc_id", F.explode("spans").alias("s"))
+    return ex.filter(F.col("s.kind") != "text").select(
+        "doc_id",
+        F.col("s.offset").alias("span_idx"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def attach_fake_payload(media: DataFrame) -> DataFrame:
+    """Deterministic stand-in for fetching bytes from object storage:
+    payload = utf-8 of the media_ref repeated (sized by ref hash)."""
+    reps = (F.pmod(F.xxhash64("media_ref"), F.lit(64)) + 8).cast("int")
+    payload = F.encode(F.concat_ws("", F.array_repeat(F.col("media_ref"), reps)), "utf-8")
+    return media.withColumn("payload", payload)
+
+
+def _fake_decode(kind: str, payload: bytes) -> np.ndarray:
+    """STUB decoder — replace with pillow / torchaudio / ffmpeg.
+
+    Deterministic features from the payload bytes so tests are stable.
+    Raises for unknown kinds exactly as a real decoder would.
+    """
+    if kind not in ("image", "video", "audio"):
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    h = zlib.crc32(payload)
+    rng = np.random.default_rng(h)
+    return rng.normal(size=MEDIA_FEATURE_DIM).astype(np.float32)
+
+
+def extract_media_features(media_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, sizes, sums = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                data = bytes(payload)
+                feats.append([float(x) for x in _fake_decode(kind, data)])
+                sizes.append(len(data))
+                sums.append(zlib.crc32(data))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "media_ref": pdf["media_ref"].values,
+                "kind": pdf["kind"].values,
+                "n_bytes": sizes,
+                "checksum": sums,
+                "features": feats,
+            })
+
+    return media_with_payload.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+def media_kind_stats(documents: DataFrame) -> DataFrame:
+    """(kind, n_spans, n_docs) over media spans — pure JVM aggregate."""
+    m = media_spans(documents)
+    return (
+        m.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.countDistinct("doc_id").alias("n_docs"))
+    )

@@ -1,0 +1,79 @@
+"""Text analysis operators: quality scoring, language ID, token stats,
+document fingerprinting.
+
+Everything is integer-or-string valued built-in expressions (no floats
+in outputs, no Python), so DuckDB oracles hash identically and the ops
+stay inside WholeStageCodegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Minimal embedded stopword inventories (public common-word lists).
+STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+STOP_VI = ["và", "của", "là", "có", "không", "được", "trong", "cho", "với", "này"]
+
+PUNCT_RE = r"[\.,;:!\?\(\)\[\]\"']"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features in integer permille (float-free):
+    mean token length x100, stopword permille, punctuation permille,
+    distinct-token permille (type/token ratio)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    stops = F.array(*[F.lit(s) for s in STOP_EN + STOP_VI])
+    n_stop = F.size(F.array_intersect(toks, stops))  # distinct-stopword hits
+    n_stop_tok = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    n_punct = F.size(F.filter(toks, lambda t: t.rlike(PUNCT_RE)))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.floor(nonspace * 100 / F.greatest(n, F.lit(1))).cast("int").alias("avg_token_len_x100"),
+        F.floor(n_stop_tok * 1000 / F.greatest(n, F.lit(1))).cast("int").alias("stopword_permille"),
+        F.floor(n_punct * 1000 / F.greatest(n, F.lit(1))).cast("int").alias("punct_permille"),
+        F.floor(F.size(F.array_distinct(toks)) * 1000 / F.greatest(n, F.lit(1)))
+        .cast("int").alias("ttr_permille"),
+        n_stop.alias("n_stopword_types"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            key_col: str = "doc_id") -> DataFrame:
+    """Stopword-count heuristic language ID (en / vi / unknown)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    en = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN)))
+    vi = F.size(F.filter(toks, lambda t: t.isin(*STOP_VI)))
+    lang = (
+        F.when((en > vi) & (en > 0), F.lit("en"))
+        .when((vi > en) & (vi > 0), F.lit("vi"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(F.col(key_col).alias("doc_id"), lang.alias("lang_pred"),
+                       en.alias("en_hits"), vi.alias("vi_hits"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Normalization-stable 60-bit content fingerprint."""
+    normed = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.conv(F.substring(F.md5(normed), 1, 15), 16, 10).cast("bigint")
+        .alias("fingerprint"),
+    )

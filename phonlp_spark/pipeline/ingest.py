@@ -77,7 +77,7 @@ def interleave_documents(flat: DataFrame) -> DataFrame:
     def media_span(k):
         ref = F.concat(F.lit("media://"), F.md5(F.concat_ws(":", F.col("doc_id"), k)))
         return F.struct(
-            F.element_at(kind_arr, (F.pmod(did + k, F.lit(3)) + 1).cast("int")).alias("kind"),
+            F.element_at(kind_arr, (F.pmod(k, F.lit(3)) + 1).cast("int")).alias("kind"),
             F.lit("").alias("text"),
             ref.alias("media_ref"),
             F.lit(-1).alias("offset"),

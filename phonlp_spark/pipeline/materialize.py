@@ -1,0 +1,214 @@
+"""Graph materialization, per-partition manifests, and resume.
+
+Output layout under `out_dir` (an Iceberg-shaped Parquet catalog: data
+files partitioned by content-derived bucket + a manifest table that
+doubles as snapshot metadata and resume checkpoint — SURVEY.md intro):
+
+    out_dir/annotations/bucket=K/*.parquet
+    out_dir/mentions/bucket=K/*.parquet
+    out_dir/triples/bucket=K/*.parquet
+    out_dir/edges/bucket=K/*.parquet
+    out_dir/nodes/*.parquet              (global, rebuilt per run)
+    out_dir/manifest/*.parquet           (append-only)
+
+Buckets are `pmod(xxhash64(doc_id), n_buckets)` — content-derived, so
+a resumed run (or a differently-sized cluster) maps every document to
+the same bucket.  Resume = anti-join of buckets against manifest rows
+whose status='done' and whose input fingerprint matches; completed
+buckets are never recomputed, interrupted buckets are overwritten
+idempotently via dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from phonlp_spark.pipeline.annotate import (
+    annotate_sentences_df,
+    annotations_long,
+    mentions_df,
+    triples_df,
+)
+from phonlp_spark.pipeline.cc import canonical_map
+from phonlp_spark.pipeline.ingest import split_sentences
+from phonlp_spark.pipeline.linking import link_mentions, same_as_edges
+
+MANIFEST_COLS = ("run_id", "bucket", "status", "docs", "sentences", "triples",
+                 "wall_ms", "attempt", "input_fingerprint")
+
+
+def input_fingerprint(documents: DataFrame) -> str:
+    row = documents.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("doc_id")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']:x}"
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, "manifest")
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def done_buckets(spark: SparkSession, out_dir: str, fingerprint: str) -> list[int]:
+    mf = read_manifest(spark, out_dir)
+    if mf is None:
+        return []
+    return [
+        r["bucket"]
+        for r in mf.filter((F.col("status") == "done")
+                           & (F.col("input_fingerprint") == fingerprint))
+        .select("bucket").distinct().collect()
+    ]
+
+
+def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame):
+    """Linking -> canonicalization -> graph tables (no IO).
+
+    Returns (linked_mentions_with_canonical_id, nodes, edges).
+    """
+    # linked and canon are consumed by several downstream plans
+    # (same-as edges, canonical ids, surface map, node rollup); cache
+    # them or the linking subplan re-executes once per consumer.
+    linked = link_mentions(mentions, alias_dict).cache()
+
+    sa = same_as_edges(alias_dict, linked)
+    nodes_all = linked.select(F.col("entity_id").alias("node"))
+    canon = (canonical_map(sa, nodes_all)
+             .withColumnRenamed("node", "entity_id").cache())
+    linked_canon = (
+        linked.join(F.broadcast(canon), "entity_id", "left")
+        .withColumn("canonical_id", F.coalesce("component", "entity_id"))
+        .drop("component")
+    )
+
+    surf_map = linked_canon.select(
+        F.col("text").alias("surface"), "canonical_id").distinct()
+    edges = (
+        triples
+        .join(F.broadcast(surf_map.withColumnRenamed("canonical_id", "subj_id")),
+              triples["subj"] == F.col("surface"), "inner").drop("surface")
+        .join(F.broadcast(surf_map.withColumnRenamed("canonical_id", "obj_id")),
+              triples["obj"] == F.col("surface"), "inner").drop("surface")
+        .select("subj_id", "pred", "obj_id", "doc_id", "sent_id")
+    )
+
+    canon_text = (
+        alias_dict.select(F.col("entity_id"), F.col("canonical"))
+        .join(F.broadcast(canon), "entity_id", "left")
+        .withColumn("cid", F.coalesce("component", "entity_id"))
+        .groupBy("cid").agg(F.min("canonical").alias("dict_canonical"))
+    )
+    nodes = (
+        linked_canon.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("mention_count"),
+             F.min("text").alias("top_text"),
+             F.mode("type").alias("type"))
+        .join(F.broadcast(canon_text),
+              F.col("canonical_id") == F.col("cid"), "left")
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            F.coalesce("dict_canonical", "top_text").alias("canonical"),
+            "type", "mention_count")
+    )
+    return linked_canon, nodes, edges
+
+
+def run_kg(
+    spark: SparkSession,
+    documents: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    salt_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Full KG construction with per-bucket lineage; returns run stats.
+
+    All remaining buckets are processed in ONE Spark job (a per-bucket
+    driver loop would serialize the cluster); the manifest rows are
+    appended only after the job's writes commit, so a crash anywhere
+    leaves previously-done buckets intact and the interrupted buckets
+    unrecorded -> recomputed and overwritten on the next run.
+    """
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = documents.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+    fp = input_fingerprint(documents)
+    skip = done_buckets(spark, out_dir, fp) if resume else []
+    todo = docs.filter(~F.col("bucket").isin(skip)) if skip else docs
+    attempt = 1 + (len(skip) > 0)
+
+    if todo.isEmpty():
+        return {"run_id": run_id, "processed_buckets": [], "skipped_buckets": skip,
+                "docs": 0, "sentences": 0, "triples": 0, "wall_ms": 0}
+
+    sentences = split_sentences(todo.select("doc_id", "spans"))
+    annotated = annotate_sentences_df(sentences, salt_partitions)
+    annotated = annotated.join(
+        todo.select("doc_id", "bucket"), "doc_id").cache()
+
+    ann = annotations_long(annotated.drop("bucket")).join(
+        todo.select("doc_id", "bucket"), "doc_id")
+    # cache the narrow mention/triple streams: the linking + graph
+    # plans reference them repeatedly and would otherwise re-explode
+    # the annotation arrays once per consumer
+    mentions = mentions_df(annotated.drop("bucket")).cache()
+    triples = triples_df(annotated.drop("bucket")).cache()
+
+    linked_canon, nodes, edges = build_graph(mentions, triples, alias_dict)
+    edges = edges.join(todo.select("doc_id", "bucket"), "doc_id")
+    men_out = linked_canon.join(todo.select("doc_id", "bucket"), "doc_id")
+
+    # writes (bucket-partitioned; dynamic overwrite = idempotent re-run)
+    ann.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/annotations")
+    men_out.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/mentions")
+    tri_out = triples.join(todo.select("doc_id", "bucket"), "doc_id")
+    tri_out.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/triples")
+    edges.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/edges")
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+
+    # per-bucket lineage metrics
+    stats = (
+        todo.groupBy("bucket").agg(F.count(F.lit(1)).alias("docs"))
+        .join(annotated.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("sentences"),
+            F.sum(F.size("triples")).alias("triples")), "bucket", "left")
+        .fillna(0, ["sentences", "triples"])
+        .collect()
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    manifest_rows = [
+        (run_id, int(r["bucket"]), "done", int(r["docs"]), int(r["sentences"]),
+         int(r["triples"]), wall_ms, attempt, fp)
+        for r in stats
+    ]
+    spark.createDataFrame(manifest_rows, ", ".join(
+        f"{c} {'string' if c in ('run_id', 'status', 'input_fingerprint') else 'long'}"
+        for c in MANIFEST_COLS
+    )).write.mode("append").parquet(f"{out_dir}/manifest")
+
+    annotated.unpersist()
+    totals = {
+        "docs": sum(r["docs"] for r in stats),
+        "sentences": sum(r["sentences"] or 0 for r in stats),
+        "triples": sum(r["triples"] or 0 for r in stats),
+    }
+    return {
+        "run_id": run_id,
+        "processed_buckets": sorted(int(r["bucket"]) for r in stats),
+        "skipped_buckets": sorted(skip),
+        "wall_ms": wall_ms,
+        **totals,
+    }

@@ -22,6 +22,9 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # allocator tuning for the driver; workers pin BLAS themselves
+    from phonlp_spark.kernel.runtime import tune_worker_runtime
+    tune_worker_runtime(blas_threads=None)
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(master[6:-1].replace("*", cpus)), 8)

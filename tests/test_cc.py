@@ -1,0 +1,71 @@
+"""Connected components vs a plain-Python union-find oracle."""
+
+import random
+
+import pytest
+
+from phonlp_spark.pipeline.cc import canonical_map, connected_components
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+
+def union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _check(spark, edges, extra_nodes=()):  # noqa: F811
+    nodes = sorted({x for e in edges for x in e} | set(extra_nodes))
+    oracle = union_find(edges, nodes)
+    edf = spark.createDataFrame(edges or [("_", "_")], "src string, dst string")
+    if not edges:
+        edf = edf.limit(0)
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
+    got = {r["node"]: r["component"] for r in canonical_map(edf, ndf).collect()}
+    assert got == oracle
+
+
+def test_chain(spark):  # noqa: F811
+    _check(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+
+
+def test_star_and_isolated(spark):  # noqa: F811
+    _check(spark, [("m", "a"), ("m", "b"), ("m", "c")], extra_nodes=["lonely"])
+
+
+def test_cycle(spark):  # noqa: F811
+    _check(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+
+
+def test_empty(spark):  # noqa: F811
+    _check(spark, [], extra_nodes=["a", "b"])
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_graphs(spark, seed):  # noqa: F811
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges, extra_nodes=nodes)
+
+
+def test_long_chain_converges(spark):  # noqa: F811
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(40)]
+    comps = {r["component"] for r in connected_components(
+        spark.createDataFrame(edges, "src string, dst string")).collect()}
+    assert comps == {"c000"}

@@ -1,0 +1,95 @@
+"""Full KG run: outputs, manifest lineage, and mid-run resume."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from phonlp_spark.pipeline.ingest import synth_documents, _seeded_names
+from phonlp_spark.pipeline.linking import build_alias_dict
+from phonlp_spark.pipeline.materialize import run_kg
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "kg")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _inputs(spark, n=80):  # noqa: F811
+    docs = synth_documents(spark, n, seed=42)
+    alias = build_alias_dict(spark, _seeded_names(40, 43))
+    return docs, alias
+
+
+def _table_sig(spark, path, cols):  # noqa: F811
+    df = spark.read.parquet(path).select(*cols)
+    return (df.count(),
+            df.select(F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()[0]["h"])
+
+
+def test_full_run_writes_graph_and_manifest(spark, out_dir):  # noqa: F811
+    docs, alias = _inputs(spark)
+    stats = run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    assert stats["docs"] == 80
+    assert stats["triples"] > 0
+    assert stats["processed_buckets"] == sorted(set(stats["processed_buckets"]))
+
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    assert nodes.filter("entity_id is null or canonical is null").count() == 0
+    assert edges.count() > 0
+    # every edge endpoint resolves to a node
+    eids = {r["entity_id"] for r in nodes.select("entity_id").collect()}
+    for r in edges.select("subj_id", "obj_id").collect():
+        assert r["subj_id"] in eids and r["obj_id"] in eids
+
+    mf = spark.read.parquet(f"{out_dir}/manifest")
+    assert mf.filter("status = 'done'").count() == len(stats["processed_buckets"])
+    assert mf.filter("docs <= 0 or wall_ms < 0").count() == 0
+
+
+def test_second_run_is_noop(spark, out_dir):  # noqa: F811
+    docs, alias = _inputs(spark)
+    run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    again = run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    assert again["processed_buckets"] == []
+    assert len(again["skipped_buckets"]) > 0
+
+
+def test_resume_recomputes_only_missing_buckets(spark, out_dir):  # noqa: F811
+    docs, alias = _inputs(spark)
+    first = run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    sig_before = {
+        t: _table_sig(spark, f"{out_dir}/{t}", cols)
+        for t, cols in [("triples", ["doc_id", "sent_id", "subj", "pred", "obj"]),
+                        ("edges", ["subj_id", "pred", "obj_id", "doc_id"])]
+    }
+
+    # simulate a mid-run crash: drop manifest rows for 3 buckets
+    mf = spark.read.parquet(f"{out_dir}/manifest")
+    lost = first["processed_buckets"][:3]
+    kept = mf.filter(~F.col("bucket").isin(lost)).collect()
+    shutil.rmtree(f"{out_dir}/manifest")
+    spark.createDataFrame(kept, mf.schema).write.parquet(f"{out_dir}/manifest")
+
+    second = run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    assert sorted(second["processed_buckets"]) == sorted(int(b) for b in lost)
+    assert sorted(second["skipped_buckets"]) == sorted(
+        b for b in first["processed_buckets"] if b not in lost)
+
+    # outputs byte-identical (order-insensitive)
+    for t, cols in [("triples", ["doc_id", "sent_id", "subj", "pred", "obj"]),
+                    ("edges", ["subj_id", "pred", "obj_id", "doc_id"])]:
+        assert _table_sig(spark, f"{out_dir}/{t}", cols) == sig_before[t]
+
+
+def test_fingerprint_change_invalidates_resume(spark, out_dir):  # noqa: F811
+    docs, alias = _inputs(spark)
+    run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    more = synth_documents(spark, 90, seed=42)  # different input
+    res = run_kg(spark, more, alias, out_dir, n_buckets=8)
+    assert res["skipped_buckets"] == []  # fingerprint mismatch -> full run

@@ -61,15 +61,16 @@ def _solve(scores: np.ndarray) -> np.ndarray:
 
     # condensed graph: out_nodes keep their order; index m = the supernode
     cond = np.full((m + 1, m + 1), NEG_INF, dtype=scores.dtype)
-    cond[:m, :m] = scores[np.ix_(out_nodes, out_nodes)]
+    out_rows = scores[out_nodes]
+    cond[:m, :m] = out_rows[:, out_nodes]
 
     # out-node dep, cycle head: keep the best in-cycle head per dep
-    dep_block = scores[np.ix_(out_nodes, cyc)]            # [m, c]
+    dep_block = out_rows[:, cyc]                          # [m, c]
     best_cyc_head = dep_block.argmax(axis=1)
     cond[:m, m] = dep_block[np.arange(m), best_cyc_head]
 
     # supernode dep, out-node head: pay for breaking one in-cycle arc
-    enter_block = scores[np.ix_(cyc, out_nodes)] - cyc_arc_w[:, None] + cyc_total
+    enter_block = scores[cyc][:, out_nodes] - cyc_arc_w[:, None] + cyc_total
     best_entry = enter_block.argmax(axis=0)               # [m]
     cond[m, :m] = enter_block[best_entry, np.arange(m)]
 

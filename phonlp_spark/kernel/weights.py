@@ -172,7 +172,8 @@ def _calibrate(w: ModelWeights, rng: np.random.Generator, enc_dim: int, seed: in
     m, s = _standardize_cols(y)
     w.ner_w /= s
     w.ner_b = ((w.ner_b - m) / s).astype(np.float32)
-    w.ner_b[N_SPECIALS] += 1.25  # index of 'O' in the tag vocab
+    w.ner_b[N_SPECIALS] += 3.5  # index of 'O': realistic mention density
+                                # (~1/3 of tokens inside mentions)
 
     # DEP labels: standardize biaffine label scores per relation using
     # probe word pairs.  The bilinear core's constant-corner weight

@@ -66,6 +66,8 @@ def extract_media_features(media_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from phonlp_spark.kernel.runtime import tune_worker_runtime
+        tune_worker_runtime()
         for pdf in it:
             feats, sizes, sums = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):

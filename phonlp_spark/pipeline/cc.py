@@ -56,18 +56,57 @@ def _fingerprint(edges: DataFrame):
     return row["n"], row["h"]
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+SMALL_GRAPH_EDGES = 100_000  # below this, solve on the driver
+
+
+def _union_find_local(rows) -> list[tuple[str, str]]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[str, list[str]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return [(n, min(members)) for members in comp.values() for n in members]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         small_graph_edges: int | None = None) -> DataFrame:
     """edges (src, dst) -> (node, component) for every node in edges.
 
     `component` is the min node id in the node's component.
+
+    Adaptive physical strategy: the alternating-star rounds each cost a
+    couple of shuffles + a blocking checkpoint, so when the deduplicated
+    edge set is small (<= SMALL_GRAPH_EDGES) it is solved with a driver
+    union-find instead — identical output (min-id components), a single
+    job instead of O(log n) rounds.  Big graphs take the distributed
+    path unchanged.
     """
+    spark = edges.sparkSession
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst").distinct().localCheckpoint()
     )
-    if e.isEmpty():
-        return edges.sparkSession.createDataFrame(
-            [], "node string, component string")
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
+    n_edges = e.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "node string, component string")
+    if n_edges <= small_graph_edges:
+        pairs = [(r["src"], r["dst"]) for r in e.collect()]
+        return spark.createDataFrame(
+            _union_find_local(pairs), "node string, component string")
 
     prev = None
     for _ in range(max_iter):
@@ -85,10 +124,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         F.min("component").alias("component"))
 
 
-def canonical_map(edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
+def canonical_map(edges: DataFrame, all_nodes: DataFrame,
+                  small_graph_edges: int | None = None) -> DataFrame:
     """(node) ∪ CC(edges) -> (node, component); isolated nodes map to
     themselves.  `all_nodes` is a single-column 'node' DataFrame."""
-    cc = connected_components(edges)
+    cc = connected_components(edges, small_graph_edges=small_graph_edges)
     return (
         all_nodes.select("node").distinct()
         .join(cc, "node", "left")

@@ -15,15 +15,13 @@ assignment is joined back (broadcast) onto the mention stream.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SIM_DIM = 4096       # hashed char-3gram space
+SIM_DIM = 2048       # hashed char-3gram space
 SIM_THRESHOLD = 0.60
 
 ALIAS_SCHEMA = T.StructType([
@@ -59,39 +57,61 @@ def build_alias_dict(spark: SparkSession, names: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, ALIAS_SCHEMA)
 
 
+def _ngram_matrix(surfs, dim: int) -> np.ndarray:
+    """L2-normalized hashed char-3gram count matrix [B, dim].
+
+    Fully vectorized (rolling polynomial hash over a padded byte
+    matrix + one scatter-add): the per-surface python loop version was
+    the linking stage's hotspot at scale.
+    """
+    enc = [("  " + (s or "") + "  ").encode("utf-8", "ignore") for s in surfs]
+    n = len(enc)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    lens = np.fromiter((len(b) for b in enc), np.int64, n)
+    width = max(int(lens.max()), 3)
+    buf = np.zeros((n, width), dtype=np.uint32)
+    for i, b in enumerate(enc):
+        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = (buf[:, :-2] * 961 + buf[:, 1:-1] * 31 + buf[:, 2:]) % dim
+    valid = np.arange(width - 2)[None, :] < (lens - 2)[:, None]
+    out = np.zeros((n, dim), dtype=np.float32)
+    rows = np.repeat(np.arange(n), width - 2)
+    flat = valid.ravel()
+    np.add.at(out, (rows[flat], h.ravel()[flat]), 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
 def _ngram_vec(text: str, dim: int) -> np.ndarray:
-    v = np.zeros(dim, dtype=np.float32)
-    data = ("  " + text + "  ").encode("utf-8", "ignore")
-    for i in range(len(data) - 2):
-        v[zlib.crc32(data[i : i + 3]) % dim] += 1.0
-    n = np.linalg.norm(v)
-    return v / n if n > 0 else v
+    return _ngram_matrix([text], dim)[0]
 
 
-def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
-    """mentions (doc_id, sent_id, start, end, type, text) -> + entity_id.
+def link_surfaces(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """(nsurf) distinct normalized surfaces -> (nsurf, entity_id).
 
     Stage 1: exact broadcast hash join on the normalized surface.
-    Stage 2 (misses only, distinct surfaces): cosine top-1 against the
-    broadcast alias n-gram matrix inside a scalar pandas UDF.
+    Stage 2 (misses only): cosine top-1 against the broadcast alias
+    n-gram matrix inside a scalar pandas UDF.
     Stage 3: residual -> content-derived new id 'X'+md5(surface)[:12].
+
+    Linking cost is proportional to DISTINCT surfaces; callers join the
+    result back onto mention/triple streams (broadcast).
     """
-    spark = mentions.sparkSession
+    spark = surfaces.sparkSession
     alias_norm = (
         alias_dict.select(norm_surface(F.col("alias")).alias("nsurf"), "entity_id")
         .groupBy("nsurf").agg(F.min("entity_id").alias("entity_id"))
     )
-    m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
-    exact = m.join(F.broadcast(alias_norm), "nsurf", "left")
-
-    # distinct unmatched surfaces -> similarity scoring
-    misses = exact.filter(F.col("entity_id").isNull()).select("nsurf").distinct()
+    exact = surfaces.join(F.broadcast(alias_norm), "nsurf", "left")
+    misses = exact.filter(F.col("entity_id").isNull()).select("nsurf")
 
     alias_rows = alias_norm.collect()  # alias inventory is small by contract
     alias_surfs = [r["nsurf"] for r in alias_rows]
     alias_ids = [r["entity_id"] for r in alias_rows]
     if alias_surfs:
-        amat = np.stack([_ngram_vec(s, SIM_DIM) for s in alias_surfs])  # [A, D]
+        amat = _ngram_matrix(alias_surfs, SIM_DIM)  # [A, D]
         bc = spark.sparkContext.broadcast((amat, alias_ids))
 
         @F.pandas_udf(T.StructType([
@@ -99,8 +119,10 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
             T.StructField("sim_score", T.FloatType()),
         ]))
         def best_alias(surfs: pd.Series) -> pd.DataFrame:
+            from phonlp_spark.kernel.runtime import tune_worker_runtime
+            tune_worker_runtime()  # allocator fix (see kernel/runtime.py)
             mat, ids = bc.value
-            qs = np.stack([_ngram_vec(s or "", SIM_DIM) for s in surfs])
+            qs = _ngram_matrix(list(surfs), SIM_DIM)
             scores = qs @ mat.T  # [B, A] cosine (rows are L2-normalized)
             best = scores.argmax(axis=1)
             return pd.DataFrame({
@@ -120,37 +142,36 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
         "nsurf", F.coalesce(F.col("sim_id"), new_id).alias("miss_entity_id")
     )
 
-    out = (
+    return (
         exact.join(F.broadcast(resolved_misses), "nsurf", "left")
-        .withColumn("entity_id", F.coalesce("entity_id", "miss_entity_id"))
-        .drop("miss_entity_id", "nsurf")
+        .select("nsurf",
+                F.coalesce("entity_id", "miss_entity_id").alias("entity_id"))
     )
-    return out
 
 
-def same_as_edges(alias_dict: DataFrame, linked: DataFrame) -> DataFrame:
-    """Undirected same-as edges for canonicalization.
+def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """mentions (doc_id, sent_id, start, end, type, text) -> + entity_id.
 
-    (a) dictionary entities sharing a normalized alias surface;
-    (b) linked mentions whose EXACT surface (pre-normalization) equals
-        another mention's normalized surface under a different id —
-        covered by (a) + content-derived ids being surface-stable, so
-        in practice (b) adds exact-text ties between dictionary hits
-        and minted ids of identical surfaces.
+    Thin wrapper: link the DISTINCT normalized surfaces, broadcast the
+    surface->entity map back onto the mention stream.
+    """
+    m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
+    surf_map = link_surfaces(m.select("nsurf").distinct(), alias_dict)
+    return m.join(F.broadcast(surf_map), "nsurf", "left").drop("nsurf")
+
+
+def same_as_edges(alias_dict: DataFrame, linked: DataFrame = None) -> DataFrame:
+    """Undirected same-as edges for canonicalization: dictionary
+    entities sharing a normalized alias surface.  (Same-surface ties
+    between mentions need no edges: linking is deterministic per
+    surface, so identical surfaces always share an entity id already.)
     Returns (src, dst) with src < dst, distinct.
     """
     a = alias_dict.select(norm_surface(F.col("alias")).alias("nsurf"),
                           F.col("entity_id"))
-    pairs = (
+    return (
         a.alias("l").join(a.alias("r"), "nsurf")
         .filter(F.col("l.entity_id") < F.col("r.entity_id"))
         .select(F.col("l.entity_id").alias("src"), F.col("r.entity_id").alias("dst"))
+        .distinct()
     )
-    text_pairs = (
-        linked.select(norm_surface(F.col("text")).alias("nsurf"), "entity_id")
-        .groupBy("nsurf")
-        .agg(F.min("entity_id").alias("a"), F.max("entity_id").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
-    return pairs.unionByName(text_pairs).distinct()

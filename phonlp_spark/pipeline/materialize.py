@@ -74,30 +74,42 @@ def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame):
     """Linking -> canonicalization -> graph tables (no IO).
 
     Returns (linked_mentions_with_canonical_id, nodes, edges).
-    """
-    # linked and canon are consumed by several downstream plans
-    # (same-as edges, canonical ids, surface map, node rollup); cache
-    # them or the linking subplan re-executes once per consumer.
-    linked = link_mentions(mentions, alias_dict).cache()
 
-    sa = same_as_edges(alias_dict, linked)
-    nodes_all = linked.select(F.col("entity_id").alias("node"))
-    canon = (canonical_map(sa, nodes_all)
-             .withColumnRenamed("node", "entity_id").cache())
-    linked_canon = (
-        linked.join(F.broadcast(canon), "entity_id", "left")
-        .withColumn("canonical_id", F.coalesce("component", "entity_id"))
-        .drop("component")
+    Everything expensive happens once at SURFACE grain (distinct
+    normalized mention texts): link, canonicalize, resolve — the
+    resulting surface->canonical map is then broadcast onto the
+    mention and triple streams (three broadcast hash joins, no extra
+    shuffles of the big streams).
+    """
+    from phonlp_spark.pipeline.linking import link_surfaces, norm_surface
+
+    m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
+    surf_ent = link_surfaces(m.select("nsurf").distinct(), alias_dict).cache()
+
+    # canonicalization at entity grain (tiny: bounded by |alias dict| +
+    # |distinct surfaces|)
+    sa = same_as_edges(alias_dict)
+    canon = (canonical_map(sa, surf_ent.select(F.col("entity_id").alias("node")))
+             .withColumnRenamed("node", "entity_id"))
+    surf_map = (
+        surf_ent.join(F.broadcast(canon), "entity_id", "left")
+        .select("nsurf", "entity_id",
+                F.coalesce("component", "entity_id").alias("canonical_id"))
+        .cache()
     )
 
-    surf_map = linked_canon.select(
-        F.col("text").alias("surface"), "canonical_id").distinct()
+    linked_canon = m.join(F.broadcast(surf_map), "nsurf", "left").drop("nsurf")
+
     edges = (
         triples
-        .join(F.broadcast(surf_map.withColumnRenamed("canonical_id", "subj_id")),
-              triples["subj"] == F.col("surface"), "inner").drop("surface")
-        .join(F.broadcast(surf_map.withColumnRenamed("canonical_id", "obj_id")),
-              triples["obj"] == F.col("surface"), "inner").drop("surface")
+        .withColumn("snsurf", norm_surface(F.col("subj")))
+        .withColumn("onsurf", norm_surface(F.col("obj")))
+        .join(F.broadcast(surf_map.select(F.col("nsurf").alias("snsurf"),
+                                          F.col("canonical_id").alias("subj_id"))),
+              "snsurf", "inner")
+        .join(F.broadcast(surf_map.select(F.col("nsurf").alias("onsurf"),
+                                          F.col("canonical_id").alias("obj_id"))),
+              "onsurf", "inner")
         .select("subj_id", "pred", "obj_id", "doc_id", "sent_id")
     )
 

@@ -33,6 +33,13 @@ def get_spark(
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # worker runtime: keep big numpy buffers in the reusable heap
+        # (this host faults fresh mmaps at ~1ms/page) and stop BLAS from
+        # escaping the task slots — see phonlp_spark/kernel/runtime.py
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

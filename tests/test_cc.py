@@ -28,14 +28,17 @@ def union_find(edges, nodes):
     return {n: min(members) for members in comp.values() for n in members}
 
 
-def _check(spark, edges, extra_nodes=()):  # noqa: F811
+def _check(spark, edges, extra_nodes=(), small=0):  # noqa: F811
+    # small=0 forces the DISTRIBUTED large-star/small-star path;
+    # small=None exercises the adaptive driver fast path.
     nodes = sorted({x for e in edges for x in e} | set(extra_nodes))
     oracle = union_find(edges, nodes)
     edf = spark.createDataFrame(edges or [("_", "_")], "src string, dst string")
     if not edges:
         edf = edf.limit(0)
     ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
-    got = {r["node"]: r["component"] for r in canonical_map(edf, ndf).collect()}
+    got = {r["node"]: r["component"] for r in
+           canonical_map(edf, ndf, small_graph_edges=small).collect()}
     assert got == oracle
 
 
@@ -67,5 +70,16 @@ def test_random_graphs(spark, seed):  # noqa: F811
 def test_long_chain_converges(spark):  # noqa: F811
     edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(40)]
     comps = {r["component"] for r in connected_components(
-        spark.createDataFrame(edges, "src string, dst string")).collect()}
+        spark.createDataFrame(edges, "src string, dst string"),
+        small_graph_edges=0).collect()}
     assert comps == {"c000"}
+
+
+def test_fast_path_equals_distributed(spark):  # noqa: F811
+    import random
+    rng = random.Random(9)
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges, extra_nodes=nodes, small=0)      # distributed
+    _check(spark, edges, extra_nodes=nodes, small=None)   # driver path

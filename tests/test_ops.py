@@ -1,0 +1,133 @@
+"""Training-data ops: dedup, similarity, text stats, scoring — small
+deterministic inputs with hand-computable expectations."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phonlp_spark.ops import dedup, scoring, similarity, textstats
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def docs(spark):  # noqa: F811
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),            # exact dup of 1
+        (3, "a b c d e g"),            # near dup of 1 (5/7 jaccard on 3-grams)
+        (4, "x y z w v u"),
+        (5, "the cat sat on the mat"),
+        (6, "và của là not much else"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):  # noqa: F811
+    got = {r["keep_id"]: r["n_dupes"] for r in dedup.exact_dedup(docs).collect()}
+    assert got[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in got
+    assert got[3] == 1
+
+
+def test_jaccard_pairs(spark, docs):  # noqa: F811
+    got = {(r["a"], r["b"]): (r["common"], r["na"], r["nb"])
+           for r in dedup.jaccard_pairs(docs, min_pct=30).collect()}
+    assert (1, 2) in got and got[(1, 2)] == (4, 4, 4)   # identical shingle sets
+    assert (1, 3) in got                                 # near dup
+    assert all(a != 4 and b != 4 for a, b in got)
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):  # noqa: F811
+    sig = {r["key"]: tuple(r[f"mh{j}"] for j in range(dedup.N_MINHASH))
+           for r in dedup.minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
+def test_lsh_pairs_catch_exact_dups(spark, docs):  # noqa: F811
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_stability_and_range(spark, docs):  # noqa: F811
+    got = {r["key"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert got[1] == got[2]
+    assert all(0 <= v < (1 << dedup.SIMHASH_BITS) for v in got.values())
+
+
+def test_cosine_topk_matches_numpy(spark):  # noqa: F811
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    got = similarity.cosine_topk(df, query_ids=[0, 1], k=3)
+    res = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    for q in (0, 1):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:3]
+        assert [res[(q, r)] for r in (1, 2, 3)] == order
+
+
+def test_lsh_buckets_partition_space(spark):  # noqa: F811
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(64, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        "vec_id long, embedding array<float>")
+    got = similarity.lsh_buckets(df).collect()
+    assert len(got) == 64
+    buckets = {r["bucket"] for r in got}
+    assert len(buckets) > 1 and all(0 <= b < 16 for b in buckets)
+
+
+def test_textstats(spark, docs):  # noqa: F811
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert q[5]["n_tokens"] == 6
+    assert q[5]["stopword_permille"] == 333  # 'the' twice / 6 tokens
+    lang = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert lang[5] == "en" and lang[6] == "vi" and lang[4] == "unknown"
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def _ann_df(spark, rows):  # noqa: F811
+    return spark.createDataFrame(
+        rows, "doc_id string, sent_id int, token_id int, upos string, "
+              "ner string, head int, deprel string")
+
+
+def test_scoring_aggregates(spark):  # noqa: F811
+    gold = _ann_df(spark, [
+        ("d", 0, 1, "N", "B-PER", 2, "sub"),
+        ("d", 0, 2, "V", "O", 0, "root"),
+        ("d", 0, 3, "N", "S-LOC", 2, "dob"),
+    ])
+    pred = _ann_df(spark, [
+        ("d", 0, 1, "N", "B-PER", 2, "sub"),
+        ("d", 0, 2, "V", "O", 0, "vmod"),
+        ("d", 0, 3, "A", "S-PER", 3, "dob"),
+    ])
+    acc = scoring.pos_accuracy(pred, gold).collect()[0]
+    assert (acc["n_tokens"], acc["n_correct"], acc["accuracy_permille"]) == (3, 2, 666)
+    ul = scoring.uas_las(pred, gold).collect()[0]
+    assert ul["uas_permille"] == 666 and ul["las_permille"] == 333
+    tags = {r["tag"]: r for r in scoring.token_prf_by_tag(pred, gold).collect()}
+    assert tags["B-PER"]["correct"] == 1
+    assert tags["S-LOC"]["gold"] == 1 and tags["S-LOC"]["guessed"] == 0
+
+
+def test_entity_prf_reference_semantics(spark):  # noqa: F811
+    """Micro P/R over exact (span, type) matches — semantics of the
+    reference entity scorer (ner/scorer.py:41-65): guessed=3, gold=3,
+    correct=2 -> P=R=2/3."""
+    cols = "doc_id string, sent_id int, start int, end int, type string"
+    gold = spark.createDataFrame(
+        [("d", 0, 0, 1, "PER"), ("d", 0, 3, 3, "LOC"), ("d", 1, 0, 0, "ORG")], cols)
+    pred = spark.createDataFrame(
+        [("d", 0, 0, 1, "PER"), ("d", 0, 3, 3, "PER"), ("d", 1, 0, 0, "ORG")], cols)
+    row = scoring.entity_prf(pred, gold).collect()[0]
+    assert (row["guessed"], row["gold"], row["correct"]) == (3, 3, 2)
+    assert row["precision_permille"] == row["recall_permille"] == 666

@@ -50,7 +50,8 @@ def _kg_pipeline(spark, sf_dir: str):
     # split, and the kernel stage must fan out (skew rule)
     nslots = spark.sparkContext.defaultParallelism
     annotated = annotate_sentences_df(split_sentences(docs),
-                                      salt_partitions=nslots * 2)
+                                      salt_partitions=nslots * 2,
+                                      columns=("mentions", "triples"))
     mt = annotated.select("doc_id", "sent_id", "mentions", "triples").cache()
     mentions = mentions_df(mt)
     names = [
@@ -141,9 +142,10 @@ def _scaling_job(spark) -> tuple[int, int]:
     docs = spark.read.parquet(_ensure_scale_input())
     n = spark.sparkContext.defaultParallelism
     annotated = annotate_sentences_df(split_sentences(docs),
-                                      salt_partitions=2 * n)
-    # cache only the narrow mention/triple stream: caching the full
-    # annotation table (all token arrays) costs more than the kernel
+                                      salt_partitions=2 * n,
+                                      columns=("mentions", "triples"))
+    # only the mention/triple stream crosses the Arrow boundary: the
+    # token-level arrays are never built (pruning can't cross Python)
     mt = annotated.select("doc_id", "sent_id", "mentions", "triples").cache()
     mentions = mentions_df(mt)
     alias = build_alias_dict(spark, _seeded_names(40, 43))
@@ -171,13 +173,13 @@ def _scaling_child(master: str, sf_dir: str) -> dict:
     n_docs, n_edges = _scaling_job(spark)
     cold = time.time() - t0
     warms = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_docs, n_edges2 = _scaling_job(spark)
         warms.append(time.time() - t0)
         assert n_edges == n_edges2
     spark.stop()
-    warm = min(warms)  # min-of-3: this host's wall clock is noisy
+    warm = min(warms)  # min-of-N: this host's wall clock is noisy
     return {"master": master, "wall_sec": round(warm, 3),
             "warm_runs": [round(w, 3) for w in warms],
             "cold_wall_sec": round(cold, 3), "docs": n_docs,

@@ -52,6 +52,10 @@ from phonlp_spark.kernel.weights import Biaffine, ModelWeights, seeded_weights, 
 MAX_SENT_TOKENS = 256  # hard cap; longer sentences are annotated on the
                        # first 256 tokens, overflow tokens get neutral tags
 _LEN_BUCKET = 8        # pad-waste bound inside a batch
+_FORWARD_CHUNK = 512   # sentences per fused forward: bounds the
+                       # worker's peak working set (and therefore heap
+                       # growth / first-touch page faults) regardless
+                       # of Arrow batch size
 
 
 def _relu(x: np.ndarray) -> np.ndarray:
@@ -139,6 +143,9 @@ class AnnotationKernel:
           mentions [(start, end, type, text)] (inclusive 0-based),
           triples [(subj, pred, obj, subj_type, obj_type, rule)].
         """
+        sentences = [
+            s.tolist() if hasattr(s, "tolist") else list(s) for s in sentences
+        ]
         out: list[dict | None] = [None] * len(sentences)
         buckets: dict[int, list[int]] = {}
         for i, s in enumerate(sentences):
@@ -146,12 +153,14 @@ class AnnotationKernel:
             key = ((max(n, 1) + _LEN_BUCKET - 1) // _LEN_BUCKET) * _LEN_BUCKET
             buckets.setdefault(key, []).append(i)
         for idxs in buckets.values():
-            batch = [sentences[i][:MAX_SENT_TOKENS] for i in idxs]
-            for i, ann in zip(idxs, self._annotate_bucket(batch)):
-                full = sentences[i]
-                if len(full) > MAX_SENT_TOKENS:
-                    ann = _extend_truncated(ann, full)
-                out[i] = ann
+            for c0 in range(0, len(idxs), _FORWARD_CHUNK):
+                chunk = idxs[c0 : c0 + _FORWARD_CHUNK]
+                batch = [sentences[i][:MAX_SENT_TOKENS] for i in chunk]
+                for i, ann in zip(chunk, self._annotate_bucket(batch)):
+                    full = sentences[i]
+                    if len(full) > MAX_SENT_TOKENS:
+                        ann = _extend_truncated(ann, full)
+                    out[i] = ann
         return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------

@@ -21,10 +21,14 @@ import numpy as np
 NEG_INF = -np.inf
 
 
-def _first_cycle(heads: np.ndarray) -> np.ndarray | None:
-    """Find one multi-node cycle in the functional graph, else None."""
-    n = heads.shape[0]
-    state = np.zeros(n, dtype=np.int8)  # 0 new, 1 on current walk, 2 done
+def _first_cycle(heads: list[int]) -> list[int] | None:
+    """Find one multi-node cycle in the functional graph, else None.
+
+    Pure-python pointer walk (plain list in, plain list out): numpy
+    scalar indexing in this loop measurably dominated decode time.
+    """
+    n = len(heads)
+    state = bytearray(n)  # 0 new, 1 on current walk, 2 done
     for start in range(n):
         if state[start]:
             continue
@@ -33,11 +37,11 @@ def _first_cycle(heads: np.ndarray) -> np.ndarray | None:
         while state[u] == 0:
             state[u] = 1
             walk.append(u)
-            u = int(heads[u])
+            u = heads[u]
         if state[u] == 1:
             cyc = walk[walk.index(u):]
             if len(cyc) > 1:
-                return np.asarray(cyc, dtype=np.int64)
+                return cyc
         for v in walk:
             state[v] = 2
     return None
@@ -46,9 +50,10 @@ def _first_cycle(heads: np.ndarray) -> np.ndarray | None:
 def _solve(scores: np.ndarray) -> np.ndarray:
     """Max arborescence on a prepared matrix (diag/root rows locked)."""
     heads = scores.argmax(axis=1)
-    cyc = _first_cycle(heads)
-    if cyc is None:
+    cyc_list = _first_cycle(heads.tolist())
+    if cyc_list is None:
         return heads
+    cyc = np.asarray(cyc_list, dtype=np.int64)
 
     n = scores.shape[0]
     in_cyc = np.zeros(n, dtype=bool)

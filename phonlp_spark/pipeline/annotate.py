@@ -51,39 +51,51 @@ ANNOTATED_SCHEMA = T.StructType([
 ])
 
 
-def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # one kernel (weights + memoized encoder) per executor python worker
-    from phonlp_spark.kernel.annotate import default_kernel
-
-    kernel = default_kernel()
-    for pdf in batches:
-        sentences = [list(t) for t in pdf["tokens"]]
-        anns = kernel.annotate(sentences)
-        out = pd.DataFrame({
-            "doc_id": pdf["doc_id"].values,
-            "span_idx": pdf["span_idx"].values,
-            "sent_id": pdf["sent_id"].values,
-            "tokens": [a["tokens"] for a in anns],
-            "upos": [a["upos"] for a in anns],
-            "ner": [a["ner"] for a in anns],
-            "head": [a["head"] for a in anns],
-            "deprel": [a["deprel"] for a in anns],
-            "mentions": [
-                [{"start": s, "end": e, "type": t, "text": x}
-                 for (s, e, t, x) in a["mentions"]]
-                for a in anns
-            ],
-            "triples": [
-                [{"subj": s, "pred": p, "obj": o,
-                  "subj_type": st, "obj_type": ot, "rule": r}
-                 for (s, p, o, st, ot, r) in a["triples"]]
-                for a in anns
-            ],
-        })
-        yield out
+_KEY_COLS = ("doc_id", "span_idx", "sent_id")
 
 
-def annotate_sentences_df(sentences: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def _make_annotate_fn(columns: tuple[str, ...]):
+    """Batch fn emitting only the requested non-key columns.
+
+    Column pruning cannot cross a mapInPandas boundary, so callers that
+    only consume mentions/triples (the KG path) skip building and
+    Arrow-serializing the five token-level arrays entirely.
+    """
+
+    def annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one kernel (weights + memoized encoder) per python worker
+        from phonlp_spark.kernel.annotate import default_kernel
+
+        kernel = default_kernel()
+        for pdf in batches:
+            anns = kernel.annotate(list(pdf["tokens"]))
+            data = {k: pdf[k].values for k in _KEY_COLS}
+            for c in columns:
+                if c == "mentions":
+                    data[c] = [
+                        [{"start": s, "end": e, "type": t, "text": x}
+                         for (s, e, t, x) in a["mentions"]]
+                        for a in anns
+                    ]
+                elif c == "triples":
+                    data[c] = [
+                        [{"subj": s, "pred": p, "obj": o,
+                          "subj_type": st, "obj_type": ot, "rule": r}
+                         for (s, p, o, st, ot, r) in a["triples"]]
+                        for a in anns
+                    ]
+                else:
+                    data[c] = [a[c] for a in anns]
+            yield pd.DataFrame(data)
+
+    return annotate_batches
+
+
+def annotate_sentences_df(
+    sentences: DataFrame,
+    salt_partitions: int | None = None,
+    columns: tuple[str, ...] | None = None,
+) -> DataFrame:
     """sentences (doc_id, span_idx, sent_id, tokens) -> annotated rows.
 
     ``salt_partitions``: hash-repartition sentence rows before the
@@ -91,10 +103,21 @@ def annotate_sentences_df(sentences: DataFrame, salt_partitions: int | None = No
     handling — the doc was already split to sentence grain, this
     spreads those sentences).  Leave None to keep the upstream
     partitioning (no shuffle).
+
+    ``columns``: subset of non-key output columns to materialize
+    (default: all).  E.g. ("mentions", "triples") for the KG path.
     """
     if salt_partitions:
         sentences = sentences.repartition(salt_partitions, F.xxhash64("doc_id", "span_idx"))
-    return sentences.mapInPandas(_annotate_batches, schema=ANNOTATED_SCHEMA)
+    all_cols = tuple(f.name for f in ANNOTATED_SCHEMA.fields if f.name not in _KEY_COLS)
+    cols = all_cols if columns is None else tuple(columns)
+    unknown = set(cols) - set(all_cols)
+    if unknown:
+        raise ValueError(f"unknown annotate columns: {sorted(unknown)}")
+    schema = T.StructType(
+        [f for f in ANNOTATED_SCHEMA.fields
+         if f.name in _KEY_COLS or f.name in cols])
+    return sentences.mapInPandas(_make_annotate_fn(cols), schema=schema)
 
 
 def annotations_long(annotated: DataFrame) -> DataFrame:

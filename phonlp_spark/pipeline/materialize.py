@@ -167,36 +167,41 @@ def run_kg(
                 "docs": 0, "sentences": 0, "triples": 0, "wall_ms": 0}
 
     sentences = split_sentences(todo.select("doc_id", "spans"))
-    annotated = annotate_sentences_df(sentences, salt_partitions)
-    annotated = annotated.join(
-        todo.select("doc_id", "bucket"), "doc_id").cache()
+    annotated = annotate_sentences_df(sentences, salt_partitions).cache()
 
-    ann = annotations_long(annotated.drop("bucket")).join(
-        todo.select("doc_id", "bucket"), "doc_id")
+    # bucket is a pure function of doc_id — recompute it as an
+    # expression on every output stream instead of joining a
+    # doc->bucket map (which would add one shuffle per output table)
+    def with_bucket(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+
+    ann = with_bucket(annotations_long(annotated))
     # cache the narrow mention/triple streams: the linking + graph
     # plans reference them repeatedly and would otherwise re-explode
     # the annotation arrays once per consumer
-    mentions = mentions_df(annotated.drop("bucket")).cache()
-    triples = triples_df(annotated.drop("bucket")).cache()
+    mentions = mentions_df(annotated).cache()
+    triples = triples_df(annotated).cache()
 
     linked_canon, nodes, edges = build_graph(mentions, triples, alias_dict)
-    edges = edges.join(todo.select("doc_id", "bucket"), "doc_id")
-    men_out = linked_canon.join(todo.select("doc_id", "bucket"), "doc_id")
 
     # writes (bucket-partitioned; dynamic overwrite = idempotent re-run)
     ann.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/annotations")
-    men_out.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/mentions")
-    tri_out = triples.join(todo.select("doc_id", "bucket"), "doc_id")
-    tri_out.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/triples")
-    edges.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/edges")
+    with_bucket(linked_canon).write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{out_dir}/mentions")
+    with_bucket(triples).write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{out_dir}/triples")
+    with_bucket(edges).write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{out_dir}/edges")
     nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
 
     # per-bucket lineage metrics
     stats = (
         todo.groupBy("bucket").agg(F.count(F.lit(1)).alias("docs"))
-        .join(annotated.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("sentences"),
-            F.sum(F.size("triples")).alias("triples")), "bucket", "left")
+        .join(with_bucket(annotated.select("doc_id", F.size("triples").alias("nt")))
+              .groupBy("bucket").agg(
+                  F.count(F.lit(1)).alias("sentences"),
+                  F.sum("nt").alias("triples")), "bucket", "left")
         .fillna(0, ["sentences", "triples"])
         .collect()
     )

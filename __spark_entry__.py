@@ -275,20 +275,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = media_features
 
     # ---- relational core over TPC-H-ish tables (SURVEY §2.3, §2.4, §2.6) ----
+    # Money math is integer cents END TO END: per-row round(x*100) to
+    # bigint BEFORE any sum.  Double sums are order-dependent and
+    # double->decimal casts tie-break differently across engines; integer
+    # accumulation is exact and partitioning-invariant.  (At extreme
+    # scale the x10000 accumulators would move to decimal(38,0) —
+    # same per-row rule, wider sum type.)
+    def _cents(col):
+        return F.round(F.col(col) * 100).cast("bigint")
+
     def tpch_pricing(s, d):
         li = _table(s, d, "lineitem")
+        disc_x100 = F.round(F.col("l_discount") * 100).cast("bigint")
         return (
             li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                .cast("decimal(18,2)").alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                .cast("decimal(18,2)").alias("sum_base_price"),
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                      * (F.lit(1).cast("decimal(18,2)")
-                         - F.col("l_discount").cast("decimal(18,2)")))
-                .cast("decimal(18,4)").alias("sum_disc_price"),
+                F.sum(_cents("l_quantity")).alias("sum_qty_x100"),
+                F.sum(_cents("l_extendedprice")).alias("sum_base_price_x100"),
+                F.sum(_cents("l_extendedprice") * (F.lit(100) - disc_x100))
+                .alias("sum_disc_price_x10000"),
                 F.count(F.lit(1)).alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus")
         )
@@ -298,16 +304,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _table(s, d, "lineitem")
         o = _table(s, d, "orders")
         c = _table(s, d, "customer")
-        rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-               * (F.lit(1).cast("decimal(18,2)")
-                  - F.col("l_discount").cast("decimal(18,2)")))
+        disc_x100 = F.round(F.col("l_discount") * 100).cast("bigint")
+        rev = _cents("l_extendedprice") * (F.lit(100) - disc_x100)
         return (
             li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
             .groupBy("c_custkey", "c_name")
-            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            .agg(F.sum(rev).alias("revenue_x10000"),
                  F.count(F.lit(1)).alias("n_items"))
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .orderBy(F.col("revenue_x10000").desc(), F.col("c_custkey"))
             .limit(10)
         )
     q["tpch_top_customers"] = tpch_top_customers
@@ -342,8 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("value").cast("decimal(18,2)"))
-                 .cast("decimal(18,2)").alias("sum_value"))
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("sum_value_x100"))
             .orderBy("hour", "event_type")
         )
     q["events_hourly"] = events_hourly
@@ -486,16 +491,23 @@ goldc AS (SELECT gtag AS tag, count(*) AS gold FROM tok GROUP BY gtag),
 correct AS (SELECT ptag AS tag, count(*) AS correct FROM tok WHERE ptag = gtag GROUP BY ptag)
 SELECT t.tag, coalesce(guessed, 0) AS guessed, coalesce(gold, 0) AS gold,
        coalesce(correct, 0) AS correct,
-       CAST(floor(coalesce(correct, 0) * 1000 / greatest(coalesce(guessed, 0), 1)) AS INT) AS precision_permille,
-       CAST(floor(coalesce(correct, 0) * 1000 / greatest(coalesce(gold, 0), 1)) AS INT) AS recall_permille
+       CAST(coalesce(correct, 0) * 1000 // greatest(coalesce(guessed, 0), 1) AS INT) AS precision_permille,
+       CAST(coalesce(correct, 0) * 1000 // greatest(coalesce(gold, 0), 1) AS INT) AS recall_permille
 FROM (SELECT tag FROM guessed UNION SELECT tag FROM goldc) t
 LEFT JOIN guessed USING (tag) LEFT JOIN goldc USING (tag) LEFT JOIN correct USING (tag)"""
 
     o["score_pos_acc"] = _pg + """
 SELECT count(*) AS n_tokens,
-       sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) AS n_correct,
-       CAST(floor(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 1000 / count(*)) AS INT) AS accuracy_permille
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 1000
+            // greatest(count(*), 1) AS INT) AS accuracy_permille
 FROM tok"""
+
+    # Span-sequence invariant: every input document must reassemble to an
+    # identical span sequence after the pipeline, so the invariant count
+    # equals the table's row count exactly.
+    o["kg_span_invariant"] = """
+SELECT count(*) AS n_docs_invariant FROM documents"""
 
     o["dedup_exact"] = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
@@ -609,13 +621,38 @@ media AS (
 SELECT kind, count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
 FROM media GROUP BY kind"""
 
+    # mirrors interleave_documents' media rule (chunk k gets a media span
+    # when (doc_id+k)%3=0; ref = media://md5(doc_id:k)) and
+    # attach_fake_payload's md5-derived repeat count
+    o["media_features"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, k FROM t,
+  UNNEST(range(CAST(greatest(ceil(len(toks)/{SENT_TOKENS}.0), 1) AS BIGINT))) AS u(k)
+),
+media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://' || md5(CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS media_ref,
+         CASE CAST(k % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind
+  FROM chunks WHERE (doc_id + k) % 3 = 0
+),
+p AS (
+  SELECT doc_id, media_ref, kind,
+         repeat(media_ref,
+                CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 64 + 8 AS INT)) AS payload
+  FROM media
+)
+SELECT doc_id, media_ref, kind,
+       CAST(length(payload) AS INT) AS n_bytes,
+       ('0x' || substr(md5(payload), 1, 15))::BIGINT AS checksum
+FROM p"""
+
     o["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_x100,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_x10000,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -624,14 +661,13 @@ ORDER BY l_returnflag, l_linestatus"""
 
     o["tpch_top_customers"] = """
 SELECT c_custkey, c_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(18,4)) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x10000,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
-ORDER BY revenue DESC, c_custkey
+ORDER BY revenue_x10000 DESC, c_custkey
 LIMIT 10"""
 
     o["tpch_region_rollup"] = """
@@ -650,7 +686,7 @@ SELECT user_id, event_id, rank FROM r WHERE rank <= 3"""
 
     o["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
 
     o["sets_semi_anti"] = """

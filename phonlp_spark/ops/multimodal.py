@@ -43,8 +43,14 @@ def media_spans(documents: DataFrame) -> DataFrame:
 
 def attach_fake_payload(media: DataFrame) -> DataFrame:
     """Deterministic stand-in for fetching bytes from object storage:
-    payload = utf-8 of the media_ref repeated (sized by ref hash)."""
-    reps = (F.pmod(F.xxhash64("media_ref"), F.lit(64)) + 8).cast("int")
+    payload = utf-8 of the media_ref repeated (sized by ref hash).
+
+    The repeat count derives from md5 (not an engine-specific hash) so
+    the byte count — and hence the downstream metadata — is re-derivable
+    in ANSI SQL for the DuckDB oracle."""
+    reps = (F.pmod(
+        F.conv(F.substring(F.md5("media_ref"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(64)) + 8).cast("int")
     payload = F.encode(F.concat_ws("", F.array_repeat(F.col("media_ref"), reps)), "utf-8")
     return media.withColumn("payload", payload)
 
@@ -66,6 +72,8 @@ def extract_media_features(media_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         from phonlp_spark.kernel.runtime import tune_worker_runtime
         tune_worker_runtime()
         for pdf in it:
@@ -74,7 +82,9 @@ def extract_media_features(media_with_payload: DataFrame) -> DataFrame:
                 data = bytes(payload)
                 feats.append([float(x) for x in _fake_decode(kind, data)])
                 sizes.append(len(data))
-                sums.append(zlib.crc32(data))
+                # portable 60-bit checksum: same arithmetic as SQL's
+                # ('0x' || substr(md5(payload), 1, 15))::BIGINT
+                sums.append(int(hashlib.md5(data).hexdigest()[:15], 16))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,
                 "media_ref": pdf["media_ref"].values,

@@ -25,15 +25,22 @@ ENTITY_KEY = ["doc_id", "sent_id", "start", "end", "type"]
 
 
 def pos_accuracy(pred: DataFrame, gold: DataFrame, col: str = "upos") -> DataFrame:
-    """One row: (n_tokens, n_correct, accuracy_permille)."""
+    """One row: (n_tokens, n_correct, accuracy_permille).
+
+    Permille is integer division (DIV), never a double divide: at exact
+    boundaries Spark's floor(double) and other engines' can disagree in
+    the last ulp, so all ratio metrics here stay in integer arithmetic.
+    """
     j = pred.select(*TOKEN_KEY, F.col(col).alias("p")).join(
         gold.select(*TOKEN_KEY, F.col(col).alias("g")), TOKEN_KEY)
-    return j.agg(
+    agg = j.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum((F.col("p") == F.col("g")).cast("long")).alias("n_correct"),
-        F.floor(F.sum((F.col("p") == F.col("g")).cast("long")) * 1000
-         / F.count(F.lit(1))).cast("int").alias("accuracy_permille"),
     )
+    return agg.select(
+        "n_tokens", "n_correct",
+        F.expr("CAST((n_correct * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("accuracy_permille"))
 
 
 def entity_prf(pred_entities: DataFrame, gold_entities: DataFrame) -> DataFrame:
@@ -68,10 +75,10 @@ def token_prf_by_tag(pred: DataFrame, gold: DataFrame, col: str = "ner") -> Data
         .fillna(0)
         .select(
             "tag", "guessed", "gold", "correct",
-            F.floor(F.col("correct") * 1000 / F.greatest("guessed", F.lit(1)))
-            .cast("int").alias("precision_permille"),
-            F.floor(F.col("correct") * 1000 / F.greatest("gold", F.lit(1)))
-            .cast("int").alias("recall_permille"),
+            F.expr("CAST((correct * 1000) DIV greatest(guessed, 1) AS INT)")
+            .alias("precision_permille"),
+            F.expr("CAST((correct * 1000) DIV greatest(gold, 1) AS INT)")
+            .alias("recall_permille"),
         )
     )
 
@@ -84,8 +91,14 @@ def uas_las(pred: DataFrame, gold: DataFrame) -> DataFrame:
                     F.col("deprel").alias("gr")), TOKEN_KEY)
     ua = (F.col("ph") == F.col("gh")).cast("long")
     la = ((F.col("ph") == F.col("gh")) & (F.col("pr") == F.col("gr"))).cast("long")
-    return j.agg(
+    agg = j.agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.floor(F.sum(ua) * 1000 / F.count(F.lit(1))).cast("int").alias("uas_permille"),
-        F.floor(F.sum(la) * 1000 / F.count(F.lit(1))).cast("int").alias("las_permille"),
+        F.sum(ua).alias("n_ua"),
+        F.sum(la).alias("n_la"),
     )
+    return agg.select(
+        "n_tokens",
+        F.expr("CAST((n_ua * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("uas_permille"),
+        F.expr("CAST((n_la * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("las_permille"))

@@ -237,13 +237,19 @@ class AnnotationKernel:
 
 
 def _extend_truncated(ann: dict, full_tokens: list[str]) -> dict:
-    """Pad neutral tags onto tokens beyond MAX_SENT_TOKENS (cap behavior)."""
-    extra = len(full_tokens) - len(ann["tokens"])
+    """Pad neutral tags onto tokens beyond MAX_SENT_TOKENS (cap behavior).
+
+    Overflow tokens chain onto the previous token (never head=0): the
+    MST guarantees a single root, and downstream CoNLL consumers assume
+    that invariant — padding must not introduce extra roots.
+    """
+    base = len(ann["tokens"])
+    extra = len(full_tokens) - base
     ann = dict(ann)
     ann["tokens"] = list(full_tokens)
     ann["upos"] = ann["upos"] + ["N"] * extra
     ann["ner"] = ann["ner"] + ["O"] * extra
-    ann["head"] = ann["head"] + [0] * extra
+    ann["head"] = ann["head"] + [base + i for i in range(extra)]
     ann["deprel"] = ann["deprel"] + ["dep"] * extra
     return ann
 

@@ -44,12 +44,30 @@ class CatalogTable:
             return []
 
     def _append_snapshot(self, snap: dict) -> None:
-        log = self.history()
-        log.append(snap)
-        tmp = self._log_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(log, f, indent=1)
-        os.replace(tmp, self._log_path())  # atomic commit point
+        # serialize read-append-replace: without the lock, two
+        # concurrent commits would both read the same history and the
+        # later os.replace would drop the earlier snapshot
+        lock = self._log_path() + ".lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"snapshot log lock held too long: {lock}") from None
+                time.sleep(0.05)
+        try:
+            log = self.history()
+            log.append(snap)
+            tmp = self._log_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(log, f, indent=1)
+            os.replace(tmp, self._log_path())  # atomic commit point
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def current(self) -> dict | None:
         log = self.history()
@@ -66,8 +84,13 @@ class CatalogTable:
             raise ValueError(f"unknown operation {operation!r}")
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.path, f"data-{snap_id}")
-        df.write.mode("errorifexists").parquet(data_dir)
-        n_rows = df.sparkSession.read.parquet(data_dir).count()
+        # observed metrics ride the write job itself — no second scan
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("errorifexists").parquet(data_dir)
+        n_rows = int(obs.get["n"])
 
         parent = self.current()
         dirs = [f"data-{snap_id}"]

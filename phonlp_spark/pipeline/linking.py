@@ -10,7 +10,9 @@ cluster sizes.
 
 Scale shape: linking cost is proportional to DISTINCT mention surfaces,
 not total mentions — surfaces are deduplicated before scoring and the
-assignment is joined back (broadcast) onto the mention stream.
+assignment is joined back onto the mention stream.  Only the alias
+dictionary (small by contract) is ever broadcast-hinted; surface-keyed
+sides are unbounded, so their join strategy is left to AQE.
 """
 
 from __future__ import annotations
@@ -142,8 +144,10 @@ def link_surfaces(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
         "nsurf", F.coalesce(F.col("sim_id"), new_id).alias("miss_entity_id")
     )
 
+    # no forced broadcast: misses are a subset of DISTINCT surfaces,
+    # which is unbounded at corpus scale — AQE broadcasts when small
     return (
-        exact.join(F.broadcast(resolved_misses), "nsurf", "left")
+        exact.join(resolved_misses, "nsurf", "left")
         .select("nsurf",
                 F.coalesce("entity_id", "miss_entity_id").alias("entity_id"))
     )
@@ -157,7 +161,9 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """
     m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
     surf_map = link_surfaces(m.select("nsurf").distinct(), alias_dict)
-    return m.join(F.broadcast(surf_map), "nsurf", "left").drop("nsurf")
+    # surf_map is keyed by DISTINCT surfaces (unbounded at scale):
+    # leave the join strategy to AQE rather than forcing a broadcast
+    return m.join(surf_map, "nsurf", "left").drop("nsurf")
 
 
 def same_as_edges(alias_dict: DataFrame, linked: DataFrame = None) -> DataFrame:

@@ -39,7 +39,7 @@ from phonlp_spark.pipeline.ingest import split_sentences
 from phonlp_spark.pipeline.linking import link_mentions, same_as_edges
 
 MANIFEST_COLS = ("run_id", "bucket", "status", "docs", "sentences", "triples",
-                 "wall_ms", "attempt", "input_fingerprint")
+                 "wall_ms", "attempt", "input_fingerprint", "n_buckets")
 
 
 def input_fingerprint(documents: DataFrame) -> str:
@@ -58,69 +58,51 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
-def done_buckets(spark: SparkSession, out_dir: str, fingerprint: str) -> list[int]:
+def done_buckets(spark: SparkSession, out_dir: str, fingerprint: str,
+                 n_buckets: int) -> list[int]:
+    """Bucket ids safe to skip: done, same input, AND same bucketing.
+
+    A bucket id means a different document set under a different
+    n_buckets, so manifests written with another layout never satisfy
+    resume (they'd silently leave documents unprocessed)."""
     mf = read_manifest(spark, out_dir)
-    if mf is None:
+    if mf is None or "n_buckets" not in mf.columns:
         return []
     return [
         r["bucket"]
         for r in mf.filter((F.col("status") == "done")
-                           & (F.col("input_fingerprint") == fingerprint))
+                           & (F.col("input_fingerprint") == fingerprint)
+                           & (F.col("n_buckets") == n_buckets))
         .select("bucket").distinct().collect()
     ]
 
 
-def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame):
-    """Linking -> canonicalization -> graph tables (no IO).
-
-    Returns (linked_mentions_with_canonical_id, nodes, edges).
-
-    Everything expensive happens once at SURFACE grain (distinct
-    normalized mention texts): link, canonicalize, resolve — the
-    resulting surface->canonical map is then broadcast onto the
-    mention and triple streams (three broadcast hash joins, no extra
-    shuffles of the big streams).
-    """
-    from phonlp_spark.pipeline.linking import link_surfaces, norm_surface
-
-    m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
-    surf_ent = link_surfaces(m.select("nsurf").distinct(), alias_dict).cache()
-
-    # canonicalization at entity grain (tiny: bounded by |alias dict| +
-    # |distinct surfaces|)
+def dict_canonical_names(alias_dict: DataFrame) -> DataFrame:
+    """(cid, dict_canonical): canonical display name per alias-dict
+    component.  Depends ONLY on the alias dictionary (same-as edges are
+    dictionary-internal and singletons fall back to their own id), so a
+    resumed run computes the identical map without re-seeing every
+    mention surface."""
     sa = same_as_edges(alias_dict)
-    canon = (canonical_map(sa, surf_ent.select(F.col("entity_id").alias("node")))
-             .withColumnRenamed("node", "entity_id"))
-    surf_map = (
-        surf_ent.join(F.broadcast(canon), "entity_id", "left")
-        .select("nsurf", "entity_id",
-                F.coalesce("component", "entity_id").alias("canonical_id"))
-        .cache()
-    )
-
-    linked_canon = m.join(F.broadcast(surf_map), "nsurf", "left").drop("nsurf")
-
-    edges = (
-        triples
-        .withColumn("snsurf", norm_surface(F.col("subj")))
-        .withColumn("onsurf", norm_surface(F.col("obj")))
-        .join(F.broadcast(surf_map.select(F.col("nsurf").alias("snsurf"),
-                                          F.col("canonical_id").alias("subj_id"))),
-              "snsurf", "inner")
-        .join(F.broadcast(surf_map.select(F.col("nsurf").alias("onsurf"),
-                                          F.col("canonical_id").alias("obj_id"))),
-              "onsurf", "inner")
-        .select("subj_id", "pred", "obj_id", "doc_id", "sent_id")
-    )
-
-    canon_text = (
-        alias_dict.select(F.col("entity_id"), F.col("canonical"))
-        .join(F.broadcast(canon), "entity_id", "left")
+    ents = alias_dict.select(F.col("entity_id").alias("node")).distinct()
+    canon = canonical_map(sa, ents).withColumnRenamed("node", "entity_id")
+    return (
+        alias_dict.select("entity_id", "canonical")
+        .join(canon, "entity_id", "left")
         .withColumn("cid", F.coalesce("component", "entity_id"))
         .groupBy("cid").agg(F.min("canonical").alias("dict_canonical"))
     )
-    nodes = (
-        linked_canon.groupBy("canonical_id")
+
+
+def nodes_from_linked(linked_mentions: DataFrame, canon_text: DataFrame) -> DataFrame:
+    """Aggregate the canonical-entity node table from linked mentions.
+
+    canon_text is bounded by the alias dictionary (small by contract)
+    -> broadcast; the mention aggregate is a plain hash-agg on
+    canonical_id.
+    """
+    return (
+        linked_mentions.groupBy("canonical_id")
         .agg(F.count(F.lit(1)).alias("mention_count"),
              F.min("text").alias("top_text"),
              F.mode("type").alias("type"))
@@ -131,6 +113,61 @@ def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame):
             F.coalesce("dict_canonical", "top_text").alias("canonical"),
             "type", "mention_count")
     )
+
+
+def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame,
+                cache_registry: list | None = None):
+    """Linking -> canonicalization -> graph tables (no IO).
+
+    Returns (linked_mentions_with_canonical_id, nodes, edges).
+
+    Everything expensive happens once at SURFACE grain (distinct
+    normalized mention texts): link, canonicalize, resolve — the
+    surface->canonical map then joins back onto the mention and triple
+    streams.  Those joins carry NO forced broadcast hint: distinct
+    surfaces are unbounded at corpus scale (hundreds of millions of
+    rows at 100 TB would OOM a forced broadcast), so AQE picks
+    broadcast when the map is actually small and degrades to a shuffle
+    join when it is not.  Only alias-dict-bounded sides are hinted.
+
+    Caches created here are appended to cache_registry (if given) so
+    callers can unpersist after their writes complete.
+    """
+    from phonlp_spark.pipeline.linking import link_surfaces, norm_surface
+
+    m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
+    surf_ent = link_surfaces(m.select("nsurf").distinct(), alias_dict).cache()
+
+    # canonicalization at entity grain (bounded by |alias dict| +
+    # |distinct surfaces|)
+    sa = same_as_edges(alias_dict)
+    canon = (canonical_map(sa, surf_ent.select(F.col("entity_id").alias("node")))
+             .withColumnRenamed("node", "entity_id"))
+    surf_map = (
+        surf_ent.join(canon, "entity_id", "left")
+        .select("nsurf", "entity_id",
+                F.coalesce("component", "entity_id").alias("canonical_id"))
+        .cache()
+    )
+    if cache_registry is not None:
+        cache_registry += [surf_ent, surf_map]
+
+    linked_canon = m.join(surf_map, "nsurf", "left").drop("nsurf")
+
+    edges = (
+        triples
+        .withColumn("snsurf", norm_surface(F.col("subj")))
+        .withColumn("onsurf", norm_surface(F.col("obj")))
+        .join(surf_map.select(F.col("nsurf").alias("snsurf"),
+                              F.col("canonical_id").alias("subj_id")),
+              "snsurf", "inner")
+        .join(surf_map.select(F.col("nsurf").alias("onsurf"),
+                              F.col("canonical_id").alias("obj_id")),
+              "onsurf", "inner")
+        .select("subj_id", "pred", "obj_id", "doc_id", "sent_id")
+    )
+
+    nodes = nodes_from_linked(linked_canon, dict_canonical_names(alias_dict))
     return linked_canon, nodes, edges
 
 
@@ -158,7 +195,7 @@ def run_kg(
     docs = documents.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
     fp = input_fingerprint(documents)
-    skip = done_buckets(spark, out_dir, fp) if resume else []
+    skip = done_buckets(spark, out_dir, fp, n_buckets) if resume else []
     todo = docs.filter(~F.col("bucket").isin(skip)) if skip else docs
     attempt = 1 + (len(skip) > 0)
 
@@ -182,8 +219,10 @@ def run_kg(
     # the annotation arrays once per consumer
     mentions = mentions_df(annotated).cache()
     triples = triples_df(annotated).cache()
+    caches = [mentions, triples]
 
-    linked_canon, nodes, edges = build_graph(mentions, triples, alias_dict)
+    linked_canon, _nodes, edges = build_graph(
+        mentions, triples, alias_dict, cache_registry=caches)
 
     # writes (bucket-partitioned; dynamic overwrite = idempotent re-run)
     ann.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/annotations")
@@ -193,7 +232,15 @@ def run_kg(
         .parquet(f"{out_dir}/triples")
     with_bucket(edges).write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{out_dir}/edges")
-    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    # nodes is GLOBAL and non-partitioned: on a resumed run the
+    # in-memory linked_canon covers only recomputed buckets, so rebuild
+    # it from the full on-disk mentions table (all buckets) after the
+    # per-bucket writes commit — otherwise a partial resume would
+    # silently replace the table with a subset-derived one.
+    nodes_full = nodes_from_linked(
+        spark.read.parquet(f"{out_dir}/mentions"),
+        dict_canonical_names(alias_dict))
+    nodes_full.write.mode("overwrite").parquet(f"{out_dir}/nodes")
 
     # per-bucket lineage metrics
     stats = (
@@ -208,7 +255,7 @@ def run_kg(
     wall_ms = int((time.time() - t0) * 1000)
     manifest_rows = [
         (run_id, int(r["bucket"]), "done", int(r["docs"]), int(r["sentences"]),
-         int(r["triples"]), wall_ms, attempt, fp)
+         int(r["triples"]), wall_ms, attempt, fp, n_buckets)
         for r in stats
     ]
     spark.createDataFrame(manifest_rows, ", ".join(
@@ -217,6 +264,8 @@ def run_kg(
     )).write.mode("append").parquet(f"{out_dir}/manifest")
 
     annotated.unpersist()
+    for df in caches:  # release executor storage memory for later jobs
+        df.unpersist()
     totals = {
         "docs": sum(r["docs"] for r in stats),
         "sentences": sum(r["sentences"] or 0 for r in stats),

@@ -59,7 +59,13 @@ def test_long_sentence_cap():
     sent = [f"w{i}" for i in range(300)]
     a = kern.annotate([sent])[0]
     assert len(a["upos"]) == 300
-    assert a["upos"][299] == "N" and a["ner"][299] == "O" and a["head"][299] == 0
+    assert a["upos"][299] == "N" and a["ner"][299] == "O"
+    # single-root invariant survives the cap: overflow tokens chain onto
+    # the previous token instead of attaching to ROOT
+    assert a["head"].count(0) == 1
+    assert a["head"][256] == 256  # first overflow -> last kernel token
+    assert a["head"][299] == 299
+    assert all(0 <= h <= 300 for h in a["head"])
 
 
 def test_triple_rules_pinned():

@@ -66,7 +66,8 @@ def test_resume_recomputes_only_missing_buckets(spark, out_dir):  # noqa: F811
     sig_before = {
         t: _table_sig(spark, f"{out_dir}/{t}", cols)
         for t, cols in [("triples", ["doc_id", "sent_id", "subj", "pred", "obj"]),
-                        ("edges", ["subj_id", "pred", "obj_id", "doc_id"])]
+                        ("edges", ["subj_id", "pred", "obj_id", "doc_id"]),
+                        ("nodes", ["entity_id", "canonical", "type", "mention_count"])]
     }
 
     # simulate a mid-run crash: drop manifest rows for 3 buckets
@@ -81,9 +82,12 @@ def test_resume_recomputes_only_missing_buckets(spark, out_dir):  # noqa: F811
     assert sorted(second["skipped_buckets"]) == sorted(
         b for b in first["processed_buckets"] if b not in lost)
 
-    # outputs byte-identical (order-insensitive)
+    # outputs byte-identical (order-insensitive) — including the GLOBAL
+    # nodes table, which must be rebuilt from all buckets, not just the
+    # recomputed ones
     for t, cols in [("triples", ["doc_id", "sent_id", "subj", "pred", "obj"]),
-                    ("edges", ["subj_id", "pred", "obj_id", "doc_id"])]:
+                    ("edges", ["subj_id", "pred", "obj_id", "doc_id"]),
+                    ("nodes", ["entity_id", "canonical", "type", "mention_count"])]:
         assert _table_sig(spark, f"{out_dir}/{t}", cols) == sig_before[t]
 
 
@@ -93,3 +97,46 @@ def test_fingerprint_change_invalidates_resume(spark, out_dir):  # noqa: F811
     more = synth_documents(spark, 90, seed=42)  # different input
     res = run_kg(spark, more, alias, out_dir, n_buckets=8)
     assert res["skipped_buckets"] == []  # fingerprint mismatch -> full run
+
+
+def test_bucket_layout_change_invalidates_resume(spark, out_dir):  # noqa: F811
+    """Same input, different n_buckets: bucket ids mean different doc
+    sets, so nothing from the old layout may be skipped."""
+    docs, alias = _inputs(spark)
+    run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    res = run_kg(spark, docs, alias, out_dir, n_buckets=4)
+    assert res["skipped_buckets"] == []
+    assert res["docs"] == 80
+
+
+def test_graph_joins_survive_no_broadcast(spark, out_dir):  # noqa: F811
+    """With auto-broadcast disabled (the 100-TB shape: distinct
+    surfaces exceed any broadcast threshold) the surface-map joins must
+    degrade to shuffle joins and produce identical edges."""
+    from phonlp_spark.pipeline.annotate import (
+        annotate_sentences_df, mentions_df, triples_df)
+    from phonlp_spark.pipeline.ingest import split_sentences
+    from phonlp_spark.pipeline.materialize import build_graph
+
+    docs, alias = _inputs(spark, n=60)
+    ann = annotate_sentences_df(split_sentences(docs)).cache()
+    mentions, triples = mentions_df(ann), triples_df(ann)
+
+    def edge_sig():
+        _l, nodes, edges = build_graph(mentions, triples, alias)
+        cols = ["subj_id", "pred", "obj_id", "doc_id"]
+        return (edges.count(), nodes.count(),
+                edges.select(F.bit_xor(F.xxhash64(*cols)).alias("h"))
+                .collect()[0]["h"])
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    baseline = edge_sig()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _l, _n, edges = build_graph(mentions, triples, alias)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert edge_sig() == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        ann.unpersist()

@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d), min_pct=5)
     q["dedup_minhash_sigs"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
     q["dedup_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d))
+    # production-sized sketch: 32 minhashes in 8 bands of 4 (the
+    # parameters a real corpus would use; same code path, same oracle
+    # generator — proves the constants are not baked in)
+    q["dedup_lsh_pairs_wide"] = lambda s, d: dedup.lsh_candidate_pairs(
+        _docs(s, d), n_minhash=32, band=4)
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
 
     # ---- similarity search ----
@@ -248,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _table(s, d, "embeddings"))
     q["ann_lsh_topk"] = lambda s, d: similarity.ann_topk_lsh(
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
+    q["ann_lsh_topk_wide"] = lambda s, d: similarity.ann_topk_lsh(
+        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5, planes=6)
 
     # ---- text analysis ----
     q["text_token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d)).select(
@@ -390,11 +397,14 @@ SELECT key, CAST({recombine} AS BIGINT) AS simhash FROM agg
 """
 
 
-def _minhash_sql(with_pairs: bool) -> str:
+def _minhash_sql(with_pairs: bool, n_minhash: int | None = None,
+                 band: int | None = None) -> str:
     from phonlp_spark.ops.dedup import LSH_BAND, N_MINHASH
+    n_minhash = n_minhash or N_MINHASH
+    band = band or LSH_BAND
     mh_cols = ", ".join(
         f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::BIGINT) AS mh{j}"
-        for j in range(N_MINHASH))
+        for j in range(n_minhash))
     base = f"""
 WITH t AS (SELECT doc_id AS key, string_split(text, ' ') AS toks FROM documents),
 sh AS (
@@ -408,9 +418,11 @@ sig AS (SELECT key, {mh_cols} FROM sh GROUP BY key)
     if not with_pairs:
         return base + "SELECT * FROM sig"
     bands = " UNION ALL ".join(
-        f"SELECT key, {b} AS band, md5(CAST(mh{b * LSH_BAND} AS VARCHAR) || '_' || "
-        f"CAST(mh{b * LSH_BAND + 1} AS VARCHAR)) AS bucket FROM sig"
-        for b in range(N_MINHASH // LSH_BAND))
+        "SELECT key, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || '_' || ".join(
+                f"CAST(mh{b * band + j} AS VARCHAR)" for j in range(band)))
+        for b in range(n_minhash // band))
     return base + f""",
 buck AS ({bands})
 SELECT DISTINCT l.key AS a, r.key AS b
@@ -419,9 +431,9 @@ WHERE l.key < r.key
 """
 
 
-def _lsh_bucket_expr(vec_col: str = "embedding") -> str:
-    from phonlp_spark.ops.similarity import seeded_hyperplanes
-    hp = seeded_hyperplanes()
+def _lsh_bucket_expr(vec_col: str = "embedding", planes: int | None = None) -> str:
+    from phonlp_spark.ops.similarity import LSH_PLANES, seeded_hyperplanes
+    hp = seeded_hyperplanes(planes=planes or LSH_PLANES)
     terms = []
     for p in range(hp.shape[0]):
         arr = "[" + ", ".join(repr(float(x)) for x in hp[p]) + "]"
@@ -534,6 +546,7 @@ WHERE 100 * common >= 5 * (na.sz + nb.sz - common)"""
 
     o["dedup_minhash_sigs"] = _minhash_sql(with_pairs=False)
     o["dedup_lsh_pairs"] = _minhash_sql(with_pairs=True)
+    o["dedup_lsh_pairs_wide"] = _minhash_sql(with_pairs=True, n_minhash=32, band=4)
     o["dedup_simhash"] = _simhash_sql()
 
     o["ann_cosine_topk"] = """
@@ -568,6 +581,21 @@ r AS (SELECT query_id, neighbor_id,
       FROM scored)
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
 
+    o["ann_lsh_topk_wide"] = f"""
+WITH b AS (SELECT vec_id, CAST({_lsh_bucket_expr(planes=6)} AS INT) AS bucket, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
+
     o["text_token_stats"] = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -580,12 +608,12 @@ FROM documents"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(floor(length(replace(text, ' ', '')) * 100 / greatest(len(toks), 1)) AS INT) AS avg_token_len_x100,
-       CAST(floor(len(list_filter(toks, x -> list_contains({stop_list}, x))) * 1000
-            / greatest(len(toks), 1)) AS INT) AS stopword_permille,
-       CAST(floor(len(list_filter(toks, x -> regexp_matches(x, '{punct_sql}'))) * 1000
-            / greatest(len(toks), 1)) AS INT) AS punct_permille,
-       CAST(floor(len(list_distinct(toks)) * 1000 / greatest(len(toks), 1)) AS INT) AS ttr_permille,
+       CAST(length(replace(text, ' ', '')) * 100 // greatest(len(toks), 1) AS INT) AS avg_token_len_x100,
+       CAST(len(list_filter(toks, x -> list_contains({stop_list}, x))) * 1000
+            // greatest(len(toks), 1) AS INT) AS stopword_permille,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '{punct_sql}'))) * 1000
+            // greatest(len(toks), 1) AS INT) AS punct_permille,
+       CAST(len(list_distinct(toks)) * 1000 // greatest(len(toks), 1) AS INT) AS ttr_permille,
        CAST(len(list_intersect(list_distinct(toks), {stop_list})) AS BIGINT) AS n_stopword_types
 FROM t"""
 

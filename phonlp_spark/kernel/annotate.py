@@ -258,10 +258,23 @@ _DEFAULT_KERNEL: AnnotationKernel | None = None
 
 
 def default_kernel() -> AnnotationKernel:
-    """Process-wide singleton (one weight set per executor worker)."""
+    """Process-wide singleton (one weight set per executor worker).
+
+    When PHONLP_SPARK_CHECKPOINT names a checkpoint directory (ship it
+    via ``spark-submit --conf spark.executorEnv.PHONLP_SPARK_CHECKPOINT=
+    /path`` plus ``--files``), the trained weights are loaded once per
+    worker process instead of the seeded sandbox weights — the
+    production path of reference run_script.py:19-38.
+    """
     global _DEFAULT_KERNEL
     if _DEFAULT_KERNEL is None:
-        _DEFAULT_KERNEL = AnnotationKernel()
+        import os
+        ckpt_dir = os.environ.get("PHONLP_SPARK_CHECKPOINT")
+        if ckpt_dir:
+            from phonlp_spark.kernel.checkpoint import load_checkpoint
+            _DEFAULT_KERNEL = AnnotationKernel(weights=load_checkpoint(ckpt_dir))
+        else:
+            _DEFAULT_KERNEL = AnnotationKernel()
     return _DEFAULT_KERNEL
 
 

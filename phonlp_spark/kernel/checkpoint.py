@@ -1,0 +1,208 @@
+"""Model checkpoint IO + the subword-encoder path for production weights.
+
+Mirrors the reference loader inventory (reference phonlp/run_script.py:19-38:
+torch.load -> {config, vocab, model state_dict}) in two forms:
+
+- the engine-native format: one ``weights.npz`` of numpy arrays plus a
+  ``meta.json`` with vocab sizes — written/read with no torch
+  dependency, broadcast once per job (kernel/weights.py contract);
+- a torch fallback behind an import guard: if ``<save_dir>/phonlp.pt``
+  exists and torch is importable, the reference checkpoint's tensors
+  are mapped onto ``ModelWeights`` fields by name.
+
+Also implements the subword-encode + first-subword-gather convention a
+non-context-free encoder (PhoBERT) needs, matching the reference
+exactly (reference phonlp/annotate_model.py:382-400 tagger /
+annotate_model.py:404-424 parser):
+
+- input ids start with CLS (one position);
+- each word contributes its subwords WITHOUT the tokenizer's own
+  CLS/SEP (``word_token[1:-1]``);
+- ``firstSWindices[w]`` records the running length of input_ids BEFORE
+  word w's subwords are appended (so it points at w's first subword);
+  the trailing sentinel is dropped;
+- the parser variant prepends the [ROOT] pseudo-word's subwords right
+  after CLS, so its index 0 is ROOT's first subword;
+- the per-word representation is the encoder state at the first
+  subword (index_select in the reference, annotate_model.py:161).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import fields
+
+import numpy as np
+
+from phonlp_spark.kernel.weights import Biaffine, ModelWeights
+
+_BIAFFINES = ("arc", "rel", "lin", "dist")
+_SCALARS = ("n_pos", "n_ner", "n_rel")
+
+
+def save_checkpoint(weights: ModelWeights, save_dir: str) -> str:
+    """Write the engine-native checkpoint: weights.npz + meta.json."""
+    os.makedirs(save_dir, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+    for f in fields(ModelWeights):
+        if f.name in _BIAFFINES or f.name in _SCALARS:
+            continue
+        arrays[f.name] = getattr(weights, f.name)
+    for b in _BIAFFINES:
+        biaff = getattr(weights, b)
+        for part in ("w1", "b1", "w2", "b2", "u"):
+            arrays[f"{b}.{part}"] = getattr(biaff, part)
+    path = os.path.join(save_dir, "weights.npz")
+    np.savez(path, **arrays)
+    with open(os.path.join(save_dir, "meta.json"), "w") as f:
+        json.dump({k: int(getattr(weights, k)) for k in _SCALARS}, f)
+    return path
+
+
+def _from_arrays(arrays, meta: dict) -> ModelWeights:
+    def arr(name):
+        a = np.asarray(arrays[name])
+        return a.astype(np.float32) if a.dtype != np.float32 else a
+
+    biaffs = {
+        b: Biaffine(**{p: arr(f"{b}.{p}") for p in ("w1", "b1", "w2", "b2", "u")})
+        for b in _BIAFFINES
+    }
+    flat = {
+        f.name: arr(f.name)
+        for f in fields(ModelWeights)
+        if f.name not in _BIAFFINES and f.name not in _SCALARS
+    }
+    return ModelWeights(**flat, **biaffs, **{k: int(meta[k]) for k in _SCALARS})
+
+
+def load_checkpoint(save_dir: str) -> ModelWeights:
+    """Load ModelWeights from save_dir.
+
+    Prefers the engine-native npz; falls back to a reference torch
+    checkpoint (phonlp.pt) when torch is importable.  Raises
+    FileNotFoundError when neither is present.
+    """
+    npz = os.path.join(save_dir, "weights.npz")
+    if os.path.exists(npz):
+        with open(os.path.join(save_dir, "meta.json")) as f:
+            meta = json.load(f)
+        with np.load(npz) as arrays:
+            return _from_arrays(arrays, meta)
+    pt = os.path.join(save_dir, "phonlp.pt")
+    if os.path.exists(pt):
+        return _load_torch_checkpoint(pt)
+    raise FileNotFoundError(f"no weights.npz or phonlp.pt under {save_dir}")
+
+
+# Reference state_dict name -> engine field.  Inventory from the
+# reference JointModel (phonlp/annotate_model.py:18-111); extend as the
+# production export dictates.  Linear layers are stored [out, in] by
+# torch, the engine multiplies x @ W -> transpose on ingest.
+_TORCH_NAME_MAP = {
+    "upos_hid.weight": ("pos_w1", True),
+    "upos_hid.bias": ("pos_b1", False),
+    "upos_clf.weight": ("pos_w2", True),
+    "upos_clf.bias": ("pos_b2", False),
+    "upos_emb.weight": ("upos_emb_ner", False),
+    "upos_emb_parser.weight": ("upos_emb_dep", False),
+    "ner_tag_clf.weight": ("ner_w", True),
+    "ner_tag_clf.bias": ("ner_b", False),
+    "crit_ner._transitions": ("crf_trans", False),
+    "dep_hid.weight": ("dep_w", True),
+    "dep_hid.bias": ("dep_b", False),
+}
+
+
+def _load_torch_checkpoint(pt_path: str) -> ModelWeights:
+    try:
+        import torch  # noqa: F401  (absent in this sandbox; prod path)
+    except ImportError as ex:
+        raise RuntimeError(
+            f"{pt_path} is a torch checkpoint but torch is not installed; "
+            "convert it to weights.npz with save_checkpoint() on a "
+            "torch-capable host") from ex
+    import torch
+    ckpt = torch.load(pt_path, map_location="cpu")
+    state = ckpt["model"]
+    arrays: dict[str, np.ndarray] = {}
+    for tname, (ename, transpose) in _TORCH_NAME_MAP.items():
+        t = state[tname].numpy()
+        arrays[ename] = t.T.copy() if transpose else t
+    for b, prefix in (("arc", "unlabeled"), ("rel", "deprel"),
+                      ("lin", "linearization"), ("dist", "distance")):
+        arrays[f"{b}.w1"] = state[f"{prefix}.W1.weight"].numpy().T.copy()
+        arrays[f"{b}.b1"] = state[f"{prefix}.W1.bias"].numpy()
+        arrays[f"{b}.w2"] = state[f"{prefix}.W2.weight"].numpy().T.copy()
+        arrays[f"{b}.b2"] = state[f"{prefix}.W2.bias"].numpy()
+        arrays[f"{b}.u"] = state[f"{prefix}.W_bilin.weight"].numpy()
+    vocab = ckpt["vocab"]
+    meta = {"n_pos": len(vocab["upos"]), "n_ner": len(vocab["ner_tag"]),
+            "n_rel": len(vocab["deprel"])}
+    return _from_arrays(arrays, meta)
+
+
+# ---------------------------------------------------------------------------
+# subword encode + first-subword gather (PhoBERT-style encoders)
+# ---------------------------------------------------------------------------
+
+def first_subword_indices(subword_counts: list[int],
+                          root_subwords: int = 0) -> list[int]:
+    """firstSWindices for one sentence, the reference convention.
+
+    subword_counts[w] = number of subwords word w tokenizes into (the
+    tokenizer's own CLS/SEP already stripped, word_token[1:-1]).
+    Positions are relative to input_ids = [CLS] (+ ROOT subwords when
+    root_subwords > 0) + word subwords + [SEP], so CLS sits at 0 and
+    the first returned index is always 1 — exactly the running-length
+    bookkeeping of reference annotate_model.py:386-393 (tagger) and
+    405-416 (parser, which prepends the [ROOT] pseudo-word and returns
+    one extra leading index for it).
+    """
+    indices = []
+    pos = 1
+    if root_subwords:
+        indices.append(pos)      # ROOT's first subword
+        pos += root_subwords
+    for c in subword_counts:
+        indices.append(pos)      # word w's first subword
+        pos += c
+    return indices
+
+
+class SubwordEncoder:
+    """Encoder-protocol adapter for subword tokenizers.
+
+    tokenize(word) -> list[str] subwords; embed(subwords) -> [n, dim]
+    float32 (for PhoBERT this is the transformer forward over the full
+    sequence; any per-subword embedding works here — the LAYOUT AND
+    GATHER are what this class pins down).  encode_padded returns the
+    first-subword vector per word — the same contract as
+    HashedNgramEncoder, so the annotation kernel is encoder-agnostic
+    (reference gather: annotate_model.py:161 index_select on
+    first_subword).
+    """
+
+    def __init__(self, tokenize, embed, dim: int):
+        self.tokenize = tokenize
+        self.embed = embed
+        self.dim = dim
+
+    def encode_padded(self, sentences: list[list[str]], max_len: int) -> np.ndarray:
+        out = np.zeros((len(sentences), max_len, self.dim), dtype=np.float32)
+        for i, sent in enumerate(sentences):
+            subs: list[str] = []
+            counts = []
+            for w in sent:
+                ws = self.tokenize(w)
+                counts.append(len(ws))
+                subs.extend(ws)
+            if not subs:
+                continue
+            # indices are positions inside [CLS]+subwords+[SEP]; the
+            # embedding below covers subwords only -> shift by the CLS slot
+            gather = [ix - 1 for ix in first_subword_indices(counts)]
+            emb = np.asarray(self.embed(subs), dtype=np.float32)
+            out[i, : len(sent)] = emb[gather]
+        return out

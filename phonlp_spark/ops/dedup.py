@@ -21,8 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Default sketch sizes — sized for the sandbox fixtures.  All operators
+# take these as ARGUMENTS so a 100-TB corpus runs e.g. 128 minhashes /
+# 16 bands and 64 simhash bits without code changes; the oracle-SQL
+# generators in __spark_entry__.py parameterize identically.
 N_MINHASH = 8
-LSH_BAND = 2  # 4 bands of 2 hashes
+LSH_BAND = 2  # hashes per band (8/2 = 4 bands)
 SIMHASH_BITS = 16
 
 
@@ -84,23 +88,26 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
-                       key_col: str = "doc_id") -> DataFrame:
+                       key_col: str = "doc_id",
+                       n_minhash: int = N_MINHASH) -> DataFrame:
     """(key, mh0..mh{N-1}): per-doc min over salted shingle hashes."""
     sh = token_shingles(docs, n, text_col, key_col)
     aggs = [
         F.min(_h64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(N_MINHASH)
+        for j in range(n_minhash)
     ]
     return sh.groupBy("key").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
-                        key_col: str = "doc_id") -> DataFrame:
+                        key_col: str = "doc_id",
+                        n_minhash: int = N_MINHASH,
+                        band: int = LSH_BAND) -> DataFrame:
     """Near-dup candidates: docs sharing any LSH band bucket."""
-    sig = minhash_signatures(docs, n, text_col, key_col)
+    sig = minhash_signatures(docs, n, text_col, key_col, n_minhash)
     bands = []
-    for b in range(N_MINHASH // LSH_BAND):
-        cols = [F.col(f"mh{b * LSH_BAND + j}") for j in range(LSH_BAND)]
+    for b in range(n_minhash // band):
+        cols = [F.col(f"mh{b * band + j}") for j in range(band)]
         bands.append(sig.select(
             "key", F.lit(b).alias("band"),
             F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket")))
@@ -115,17 +122,18 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """(key, simhash): 16-bit sign-aggregated token fingerprint."""
+def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(key, simhash): sign-aggregated token fingerprint over `bits` bits."""
     tok = docs.select(F.col(key_col).alias("key"),
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = _h64(F.col("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     agg = tok.groupBy("key").agg(*bit_sums)
     sim = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
     return agg.select("key", sim.alias("simhash"))

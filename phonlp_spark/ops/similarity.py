@@ -67,14 +67,16 @@ def seeded_hyperplanes(seed: int = 7, planes: int = LSH_PLANES,
 
 
 def lsh_buckets(embeddings: DataFrame, seed: int = 7,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                planes: int = LSH_PLANES) -> DataFrame:
     """(vec_id, bucket): sign-bit bucket under seeded hyperplanes.
 
     The hyperplanes are literal constants in the plan — reproducible on
     any engine, and the bucket is a pure per-row expression (no
     shuffle); ANN search then joins candidates within a bucket only.
+    `planes` scales the bucket count (2^planes) with corpus size.
     """
-    hp = seeded_hyperplanes(seed)
+    hp = seeded_hyperplanes(seed, planes)
     bucket = F.lit(0)
     for p in range(hp.shape[0]):
         plane = F.array(*[F.lit(float(x)) for x in hp[p]])
@@ -86,10 +88,12 @@ def lsh_buckets(embeddings: DataFrame, seed: int = 7,
 
 def ann_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                  seed: int = 7, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 planes: int = LSH_PLANES) -> DataFrame:
     """Approximate top-k: exact rescoring restricted to same-bucket
     candidates (the scale path: bucket join replaces the cross join)."""
-    b = lsh_buckets(embeddings, seed, id_col, vec_col).withColumnRenamed("vec_id", "_bid")
+    b = lsh_buckets(embeddings, seed, id_col, vec_col, planes) \
+        .withColumnRenamed("vec_id", "_bid")
     e = embeddings.join(b, F.col(id_col) == F.col("_bid")).drop("_bid")
     q = e.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),

@@ -8,6 +8,7 @@ stay inside WholeStageCodegen at any scale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,15 +42,29 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     n_stop_tok = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     n_punct = F.size(F.filter(toks, lambda t: t.rlike(PUNCT_RE)))
     nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
-    return docs.select(
+    # ratios via integer DIV, never floor(double division): double
+    # divides can floor differently across engines at exact boundaries
+    raw = docs.select(
         F.col(key_col).alias("doc_id"),
         n.alias("n_tokens"),
-        F.floor(nonspace * 100 / F.greatest(n, F.lit(1))).cast("int").alias("avg_token_len_x100"),
-        F.floor(n_stop_tok * 1000 / F.greatest(n, F.lit(1))).cast("int").alias("stopword_permille"),
-        F.floor(n_punct * 1000 / F.greatest(n, F.lit(1))).cast("int").alias("punct_permille"),
-        F.floor(F.size(F.array_distinct(toks)) * 1000 / F.greatest(n, F.lit(1)))
-        .cast("int").alias("ttr_permille"),
+        nonspace.alias("_nonspace"),
+        n_stop_tok.alias("_n_stop_tok"),
+        n_punct.alias("_n_punct"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
         n_stop.alias("n_stopword_types"),
+    )
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST((_nonspace * 100) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("avg_token_len_x100"),
+        F.expr("CAST((_n_stop_tok * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("stopword_permille"),
+        F.expr("CAST((_n_punct * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("punct_permille"),
+        F.expr("CAST((_n_distinct * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("ttr_permille"),
+        "n_stopword_types",
     )
 
 
@@ -77,3 +92,25 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.conv(F.substring(F.md5(normed), 1, 15), 16, 10).cast("bigint")
         .alias("fingerprint"),
     )
+
+
+def nfd_normalize(docs: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """NFD unicode normalization (reference common/utils.py:124-125).
+
+    Spark has no built-in unicode-normal-form expression, so this is an
+    Arrow-batched pandas UDF over unicodedata — a pure scalar map (no
+    shuffle) kept OFF the annotate hot path, exactly like the
+    reference, which defines normalize_text but never calls it during
+    annotation.
+    """
+    from pyspark.sql import types as T
+
+    def _nfd(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: unicodedata.normalize("NFD", x)
+                     if x is not None else None)
+
+    nfd_udf = F.pandas_udf(_nfd, T.StringType())
+    return docs.select(F.col(key_col).alias("doc_id"),
+                       nfd_udf(F.col(text_col)).alias("text_nfd"))

@@ -1,0 +1,116 @@
+"""Checkpoint IO roundtrip + the subword first-subword-gather convention
+(reference phonlp/run_script.py:19-38, annotate_model.py:382-424)."""
+
+import numpy as np
+import pytest
+
+from phonlp_spark.kernel.annotate import AnnotationKernel
+from phonlp_spark.kernel.checkpoint import (
+    SubwordEncoder,
+    first_subword_indices,
+    load_checkpoint,
+    save_checkpoint,
+)
+from phonlp_spark.kernel.encoder import HashedNgramEncoder
+from phonlp_spark.kernel.weights import seeded_weights
+
+SENTS = [
+    "Nguyễn_Văn_A thăm Hà_Nội .".split(),
+    "Công_ty mua nhà của ông Minh_Phúc tại Đà_Nẵng".split(),
+]
+
+
+def test_roundtrip_annotations_identical(tmp_path):
+    w = seeded_weights(seed=42)
+    save_checkpoint(w, str(tmp_path))
+    w2 = load_checkpoint(str(tmp_path))
+    assert (w2.n_pos, w2.n_ner, w2.n_rel) == (w.n_pos, w.n_ner, w.n_rel)
+    np.testing.assert_array_equal(w2.crf_trans, w.crf_trans)
+    np.testing.assert_array_equal(w2.arc.u, w.arc.u)
+    a = AnnotationKernel(weights=w).annotate(SENTS)
+    b = AnnotationKernel(weights=w2).annotate(SENTS)
+    assert a == b
+
+
+def test_missing_checkpoint_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(str(tmp_path / "nowhere"))
+
+
+def test_default_kernel_honors_checkpoint_env(tmp_path, monkeypatch):
+    """PHONLP_SPARK_CHECKPOINT swaps trained weights into the
+    executor-side singleton (the spark-submit production path)."""
+    import phonlp_spark.kernel.annotate as ka
+
+    w7 = seeded_weights(seed=7)
+    save_checkpoint(w7, str(tmp_path))
+    monkeypatch.setenv("PHONLP_SPARK_CHECKPOINT", str(tmp_path))
+    monkeypatch.setattr(ka, "_DEFAULT_KERNEL", None)  # restored after test
+    k = ka.default_kernel()
+    np.testing.assert_array_equal(k.weights.crf_trans, w7.crf_trans)
+
+
+def _reference_first_sw(counts, root_subwords=0):
+    """Literal transcription of the reference bookkeeping
+    (annotate_model.py:386-393 / 405-416) over subword COUNTS."""
+    input_len = 1  # [cls_id]
+    first = [input_len]
+    if root_subwords:
+        input_len += root_subwords
+        first.append(input_len)
+    for c in counts:
+        input_len += c
+        first.append(input_len)
+    return first[:-1]  # drop the trailing sentinel
+
+
+@pytest.mark.parametrize("counts,root", [
+    ([2, 2, 2], 0),
+    ([2, 2, 2], 1),
+    ([1, 3, 2, 1], 0),
+    ([1, 3, 2, 1], 2),
+    ([5], 1),
+    ([], 0),
+])
+def test_first_subword_matches_reference_convention(counts, root):
+    assert first_subword_indices(counts, root) == _reference_first_sw(counts, root)
+
+
+def test_subword_encoder_gathers_first_subword():
+    base = HashedNgramEncoder(dim=32)
+
+    def tokenize(w):  # fake 2-subword-per-word tokenizer
+        return [w[: max(len(w) // 2, 1)], w[max(len(w) // 2, 1):] or "##"]
+
+    def embed(subs):
+        return np.stack([base._word_vec(s) for s in subs])
+
+    enc = SubwordEncoder(tokenize, embed, dim=32)
+    sents = [["hello", "world"], ["xy"]]
+    out = enc.encode_padded(sents, max_len=3)
+    assert out.shape == (2, 3, 32)
+    # each word's vector must be its FIRST subword's embedding
+    np.testing.assert_array_equal(out[0, 0], base._word_vec("he"))
+    np.testing.assert_array_equal(out[0, 1], base._word_vec("wo"))
+    np.testing.assert_array_equal(out[1, 0], base._word_vec("x"))
+    assert not out[1, 1].any()  # padding stays zero
+
+
+def test_kernel_accepts_subword_encoder():
+    """The annotation kernel is encoder-agnostic: swapping in the
+    subword encoder changes representations, not the dataflow."""
+    base = HashedNgramEncoder(dim=64)
+
+    def tokenize(w):
+        return [w, "##sfx"]
+
+    def embed(subs):
+        return np.stack([base._word_vec(s) for s in subs])
+
+    kern = AnnotationKernel()
+    kern.encoder = SubwordEncoder(tokenize, embed, dim=64)
+    anns = kern.annotate(SENTS)
+    assert len(anns) == 2
+    for a, s in zip(anns, SENTS):
+        assert a["tokens"] == s
+        assert a["head"].count(0) == 1  # still a single-root tree

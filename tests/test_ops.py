@@ -131,3 +131,39 @@ def test_entity_prf_reference_semantics(spark):  # noqa: F811
     row = scoring.entity_prf(pred, gold).collect()[0]
     assert (row["guessed"], row["gold"], row["correct"]) == (3, 3, 2)
     assert row["precision_permille"] == row["recall_permille"] == 666
+
+
+def test_nfd_normalize_matches_unicodedata(spark):  # noqa: F811
+    """NFD scalar (reference common/utils.py:124-125): engine output ==
+    unicodedata.normalize('NFD', ...) including Vietnamese diacritics."""
+    import unicodedata
+
+    texts = ["Hà_Nội rất đẹp", "café naïve", "plain ascii", "Đà_Nẵng", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["text_nfd"]
+           for r in textstats.nfd_normalize(df).collect()}
+    for i, t in enumerate(texts):
+        want = unicodedata.normalize("NFD", t)
+        assert got[i] == want
+        assert unicodedata.normalize("NFC", got[i]) == unicodedata.normalize("NFC", t)
+    # NFD actually decomposes: the accented samples must grow
+    assert len(got[0]) > len(texts[0])
+
+
+def test_sketch_parameters_scale(spark, docs):  # noqa: F811
+    """Wide sketch parameters flow end to end (32 minhashes / 8 bands,
+    6 hyperplanes) — the production-sized configuration."""
+    sig = dedup.minhash_signatures(docs, n_minhash=32)
+    assert [c for c in sig.columns if c.startswith("mh")] == [f"mh{j}" for j in range(32)]
+    pairs = dedup.lsh_candidate_pairs(docs, n_minhash=32, band=4)
+    narrow = dedup.lsh_candidate_pairs(docs)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exact duplicates always collide regardless of parameters
+    for p in {(r["a"], r["b"]) for r in narrow.collect()} & got:
+        assert p in got
+    b = similarity.lsh_buckets(
+        spark.createDataFrame(
+            [(i, [float(i % 7) - 3.0] * 64) for i in range(20)],
+            "vec_id long, embedding array<float>"), planes=6)
+    assert b.agg(F.max("bucket")).collect()[0][0] < 64

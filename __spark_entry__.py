@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
     q["ann_lsh_topk_wide"] = lambda s, d: similarity.ann_topk_lsh(
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5, planes=6)
+    # embedding-cosine near-dup (dedup family member): LSH-bucketed
+    # candidates, exact-cosine threshold (300 fits the synthetic
+    # embeddings' similarity range; production uses ~950)
+    q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dups(
+        _table(s, d, "embeddings"), min_cos_x1000=300)
 
     # ---- text analysis ----
     q["text_token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d)).select(
@@ -595,6 +600,18 @@ r AS (SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
       FROM scored)
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
+
+    o["dedup_embedding"] = f"""
+WITH b AS (SELECT vec_id, CAST({_lsh_bucket_expr()} AS INT) AS bucket, embedding FROM embeddings),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT a, b, CAST(round(cos * 1000) AS INT) AS cos_x1000
+FROM pairs WHERE round(cos * 1000) >= 300"""
 
     o["text_token_stats"] = """
 SELECT doc_id,

@@ -6,10 +6,12 @@ line: {"metric", "value" (total wall sec), "unit": "sec",
 "queries": {name: sec}, "sf", plus docs/sec for the KG pipeline}.
 
 Scaling mode (`python bench.py --scaling`): run the identical KG job at
-local[8] and local[32] in fresh subprocesses on the same input and
-write throughput + efficiency evidence to BENCH/BASELINE.md — the
-sandbox stand-in for the N->4N executor scaling rule (no real cluster
-here; parallelism is the controlled variable).
+local[N] and local[4N] (SPARK_GRAFT_SCALE_PAIR, default "8,32") in
+fresh subprocesses pinned to exactly N / 4N hardware cores, on the same
+input; append the measurement to BENCH/scaling_runs.json — the sandbox
+stand-in for the N->4N executor scaling rule (no real cluster here;
+parallelism is the controlled variable).  BENCH/BASELINE.md narrates
+the accumulated record.
 """
 
 from __future__ import annotations
@@ -156,13 +158,17 @@ def _scaling_job(spark) -> tuple[int, int]:
     return SCALE_DOCS, n_edges
 
 
-def _scaling_child(master: str, sf_dir: str) -> dict:
-    """Run the KG pipeline twice in this process; report cold + warm.
+N_WARMS = int(os.environ.get("SPARK_GRAFT_SCALE_WARMS", "3"))
 
-    The warm run is the scaling-rule measurement: production executors
-    are long-lived, and this sandbox's guest memory is lazily faulted
-    (first-touch ~1ms/page, serialized host-side), so a cold run
-    measures the hypervisor's fault path — which scales with worker
+
+def _scaling_child(master: str, sf_dir: str) -> dict:
+    """Run the KG pipeline 1+N_WARMS times in this process; report
+    cold + warm.
+
+    The warm minimum is the scaling-rule measurement: production
+    executors are long-lived, and this sandbox's guest memory is lazily
+    faulted (first-touch ~1ms/page, serialized host-side), so a cold
+    run measures the hypervisor's fault path — which scales with worker
     COUNT — instead of the engine.
     """
     from phonlp_spark.pipeline.session import get_spark
@@ -173,7 +179,7 @@ def _scaling_child(master: str, sf_dir: str) -> dict:
     n_docs, n_edges = _scaling_job(spark)
     cold = time.time() - t0
     warms = []
-    for _ in range(3):
+    for _ in range(N_WARMS):
         t0 = time.time()
         n_docs, n_edges2 = _scaling_job(spark)
         warms.append(time.time() - t0)
@@ -186,51 +192,59 @@ def _scaling_child(master: str, sf_dir: str) -> dict:
             "edges": n_edges, "docs_per_sec": round(n_docs / warm, 2)}
 
 
+def _pin_prefix(n_cores: int) -> list[str]:
+    """Confine a child to exactly n_cores hardware cores.
+
+    This is the experimental control that makes local[N] vs local[4N]
+    a faithful stand-in for N vs 4N executors: an N-executor cluster
+    owns exactly N executors' worth of cores (JVM shuffle/GC threads
+    included), but an UNPINNED local[N] run on a 4N-core host borrows
+    the idle 3N cores for its JVM threads and per-core turbo headroom —
+    inflating the small configuration and understating true scaling.
+    """
+    import shutil
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{n_cores - 1}"]
+    return []
+
+
+SCALE_PAIR = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "8,32").split(","))
+RUNS_JSON = "BENCH/scaling_runs.json"
+
+
 def run_scaling(sf_dir: str) -> None:
+    """Run the identical KG job at N and 4N pinned cores; append the
+    measurement to BENCH/scaling_runs.json and print one JSON line.
+    BENCH/BASELINE.md narrates the accumulated record by hand."""
     _ensure_scale_input()
+    lo, hi = SCALE_PAIR
+    assert hi == 4 * lo, "north rule compares N to 4N"
     results = []
-    for n in (8, 32):
+    for n in (lo, hi):
         p = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", f"local[{n}]", sf_dir],
+            _pin_prefix(n)
+            + [sys.executable, __file__, "--scaling-child", f"local[{n}]", sf_dir],
             capture_output=True, text=True, check=True)
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))
-    r8, r32 = results
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    r_lo, r_hi = results
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / 4.0
+    assert r_lo["edges"] == r_hi["edges"]  # output parity across sizes
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH — scaling evidence (N -> 4N parallelism)
+    record = {"pair": [lo, hi], "docs": SCALE_DOCS, "warms": N_WARMS,
+              "pinned": bool(_pin_prefix(lo)),
+              "efficiency": round(eff, 3), "runs": results}
+    try:
+        with open(RUNS_JSON) as f:
+            log = json.load(f)
+    except FileNotFoundError:
+        log = []
+    log.append(record)
+    with open(RUNS_JSON, "w") as f:
+        json.dump(log, f, indent=1)
+    print(json.dumps(record))
 
-North rule: throughput scaling efficiency >= 0.8 from N to 4N
-executors, evidenced in-sandbox by the identical KG-construction job
-(documents -> sentence split -> Arrow annotation kernel -> mentions +
-triples -> broadcast-dict linking -> connected-components -> canonical
-edges) at local[8] vs local[32] on the same input: the deterministic
-FIXTURES.md interleaved-documents table, {SCALE_DOCS} docs, seed 42,
-pre-written to {SCALE_PATH} and read by both runs.
-
-Methodology: each parallelism level runs the job twice in one session
-and the SECOND (warm) run is measured — production executors are
-long-lived, and this sandbox's guest memory is lazily faulted
-(first-touch ~1ms/page through a serialized host path), so a cold run
-measures the hypervisor's fault handler, which scales with worker
-count, not the engine.  Cold walls are reported alongside.
-
-| master | docs | edges | warm wall (s) | cold wall (s) | docs/sec (warm) |
-|---|---|---|---|---|---|
-| local[8]  | {r8['docs']} | {r8['edges']} | {r8['wall_sec']} | {r8['cold_wall_sec']} | {r8['docs_per_sec']} |
-| local[32] | {r32['docs']} | {r32['edges']} | {r32['wall_sec']} | {r32['cold_wall_sec']} | {r32['docs_per_sec']} |
-
-speedup 8->32 threads: {r32['docs_per_sec'] / r8['docs_per_sec']:.2f}x
-scaling efficiency (speedup / 4): {eff:.3f}
-target: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"}
-
-Output parity across cluster sizes: identical edge counts
-({r8['edges']} == {r32['edges']}: {r8['edges'] == r32['edges']}) —
-component ids and entity ids are content-derived, so results are
-bitwise-stable under repartitioning.
-""")
-    print(json.dumps({"scaling_efficiency": round(eff, 3), "runs": results}))
 
 
 if __name__ == "__main__":

@@ -6,13 +6,18 @@ Usage (north-rule launch shape):
     spark-submit --py-files phonlp_spark.zip jobs/run_kg_job.py \
         --input  <documents parquet dir (interleaved spans schema)> \
         --output <out dir>  [--buckets 256] [--alias-names <txt file>] \
-        [--salt-partitions N] [--no-resume]
+        [--salt-partitions N] [--no-resume] [--checkpoint <weights dir>]
 
 The job is resumable: buckets recorded 'done' in <output>/manifest for
-the same input fingerprint are skipped; interrupted buckets are
-recomputed and overwritten idempotently.  Prints one JSON line of run
-stats (lineage: processed/skipped buckets, docs, sentences, triples,
-wall_ms).
+the same input fingerprint AND bucket layout are skipped; interrupted
+buckets are recomputed and overwritten idempotently.  Prints one JSON
+line of run stats (lineage: processed/skipped buckets, docs, sentences,
+triples, wall_ms).
+
+--checkpoint points executors at trained model weights
+(kernel/checkpoint.py format, or a reference phonlp.pt where torch is
+installed); ship the directory with --files and it is loaded once per
+executor worker.  Without it, the seeded sandbox weights run.
 """
 
 from __future__ import annotations
@@ -37,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
                         "FIXTURES seeded names")
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="model weights dir (weights.npz + meta.json); "
+                        "propagated to executors via "
+                        "spark.executorEnv.PHONLP_SPARK_CHECKPOINT")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -45,7 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     from phonlp_spark.pipeline.materialize import run_kg
     from phonlp_spark.pipeline.session import get_spark
 
-    spark = get_spark(master=args.master, app_name="phonlp_spark_kg")
+    extra = {}
+    if args.checkpoint:
+        extra["spark.executorEnv.PHONLP_SPARK_CHECKPOINT"] = args.checkpoint
+        os.environ["PHONLP_SPARK_CHECKPOINT"] = args.checkpoint  # local mode
+    spark = get_spark(master=args.master, app_name="phonlp_spark_kg",
+                      extra=extra)
     spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(args.input)
 

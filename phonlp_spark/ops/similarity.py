@@ -113,3 +113,32 @@ def ann_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def embedding_near_dups(embeddings: DataFrame, min_cos_x1000: int = 950,
+                        seed: int = 7, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        planes: int = LSH_PLANES) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_x1000).
+
+    Candidates come from the hyperplane-LSH bucket join (never the full
+    cross product — the 100-TB shape), then exact cosine filters at
+    min_cos_x1000/1000.  Output is integer-valued (round(cos*1000)) so
+    oracles hash identically; both engines compute the identical IEEE
+    double expression before the round.
+    """
+    b = lsh_buckets(embeddings, seed, id_col, vec_col, planes)
+    e = embeddings.join(b, embeddings[id_col] == b["vec_id"]).drop(b["vec_id"])
+    left = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                    F.col("bucket"))
+    right = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                     F.col("bucket"))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                    / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cos_x1000", F.round(F.col("cos") * 1000).cast("int"))
+        .filter(F.col("cos_x1000") >= min_cos_x1000)
+    )
+    return pairs.select("a", "b", "cos_x1000")

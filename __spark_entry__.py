@@ -234,6 +234,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return scoring.pos_accuracy(pred, gold)
     q["score_pos_acc"] = score_pos_acc
 
+    def score_aligned_tokens(s, d):
+        """UD-eval span alignment under a DIVERGING tokenization:
+        system re-tokenizes by splitting every 3rd token (len>=2) in
+        half, so exactly the unsplit tokens align (char spans equal) —
+        a closed form the oracle derives by counting."""
+        from phonlp_spark.ops.alignment import align_tokens
+        base = _sentences(s, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "sent_id",
+            F.split("sentence", " ").alias("toks"))
+        gold = base.select(
+            "doc_id", "sent_id",
+            F.posexplode("toks").alias("pos", "word")).select(
+            "doc_id", "sent_id", (F.col("pos") + 1).cast("int").alias("token_id"),
+            "word")
+        system = base.selectExpr(
+            "doc_id", "sent_id",
+            """flatten(transform(toks, (x, i) ->
+                 CASE WHEN (i + 1) % 3 = 0 AND length(x) >= 2
+                      THEN array(substring(x, 1, CAST(floor(length(x)/2) AS INT)),
+                                 substring(x, CAST(floor(length(x)/2) AS INT) + 1))
+                      ELSE array(x) END)) AS stoks""").select(
+            "doc_id", "sent_id",
+            F.posexplode("stoks").alias("pos", "word")).select(
+            "doc_id", "sent_id", (F.col("pos") + 1).cast("int").alias("token_id"),
+            "word")
+        aligned = align_tokens(gold, system)
+        return (
+            gold.agg(F.count(F.lit(1)).alias("n_gold"))
+            .crossJoin(system.agg(F.count(F.lit(1)).alias("n_system")))
+            .crossJoin(aligned.agg(F.count(F.lit(1)).alias("n_aligned")))
+        )
+    q["score_aligned_tokens"] = score_aligned_tokens
+
     # ---- dedup family ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d), min_pct=5)
@@ -519,6 +552,22 @@ SELECT count(*) AS n_tokens,
        CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 1000
             // greatest(count(*), 1) AS INT) AS accuracy_permille
 FROM tok"""
+
+    # closed form: system splits every 3rd gold token (len>=2) in half,
+    # so n_aligned = n_gold - n_split and n_system = n_gold + n_split
+    o["score_aligned_tokens"] = _SENT_SQL + """
+, tok AS (
+  SELECT unnest(string_split(sentence, ' ')) AS word,
+         unnest(range(1, len(string_split(sentence, ' ')) + 1)) AS pos
+  FROM s
+),
+c AS (SELECT count(*) AS n_gold,
+             sum(CASE WHEN pos % 3 = 0 AND length(word) >= 2 THEN 1 ELSE 0 END) AS n_split
+      FROM tok)
+SELECT CAST(n_gold AS BIGINT) AS n_gold,
+       CAST(n_gold + n_split AS BIGINT) AS n_system,
+       CAST(n_gold - n_split AS BIGINT) AS n_aligned
+FROM c"""
 
     # Span-sequence invariant: every input document must reassemble to an
     # identical span sequence after the pipeline, so the invariant count

@@ -1,0 +1,213 @@
+"""UD-eval token alignment for diverging tokenizations.
+
+Distributed form of the reference word aligner
+(reference phonlp/utils/conll18_ud_eval.py:408-498): when gold and
+system tokenize the same character stream differently, tokens align
+
+- by exact character span where neither side is inside a multiword
+  region (case B, conll18_ud_eval.py:484-496), and
+- by longest-common-subsequence on lowercased forms inside a minimal
+  "multiword span" — the smallest window in which both sides cross the
+  same character boundary (case A, conll18_ud_eval.py:422-482).
+
+The engine normally runs with identity-aligned tokens (one tokenizer
+end to end), so this operator sits off the hot path; it becomes
+load-bearing the moment a system output with different segmentation
+(e.g. subword or MWT-splitting tokenizers) must be scored against
+gold.  Per-sentence alignment is a few dozen tokens, so the sequential
+two-pointer walk runs inside a cogrouped Arrow batch
+(`cogroup().applyInPandas`) — Spark distributes sentences, not the
+walk.
+
+Semantics parity with the reference module is pinned in
+tests/test_alignment.py, which imports conll18_ud_eval itself and
+compares aligned-pair counts on synthetic CoNLL-U with multiword
+tokens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SENT_KEY = ["doc_id", "sent_id"]
+
+ALIGNED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("sent_id", T.IntegerType()),
+    T.StructField("gold_token_id", T.IntegerType()),
+    T.StructField("system_token_id", T.IntegerType()),
+])
+
+
+def with_char_spans(tokens: DataFrame, word_col: str = "word") -> DataFrame:
+    """Add (span_start, span_end, is_multiword=false) by per-sentence
+    cumulative character offsets — the UD convention: spans index the
+    concatenation of token characters, whitespace excluded
+    (conll18_ud_eval.py:255-268).  Pure window arithmetic, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(*SENT_KEY).orderBy("token_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(F.length(word_col)).over(w), F.lit(0)).cast("int")
+    return (tokens
+            .withColumn("span_start", start)
+            .withColumn("span_end", (start + F.length(word_col)).cast("int"))
+            .withColumn("is_multiword", F.lit(False)))
+
+
+def _align_sentence(gold: list, system: list) -> list[tuple[int, int]]:
+    """Two-pointer alignment of one sentence.
+
+    gold/system: lists of (token_id, word, start, end, is_multiword),
+    sorted by token_id.  Returns (gold_token_id, system_token_id)
+    pairs.  Mirrors reference align_words/find_multiword_span/
+    compute_lcs semantics exactly (independent implementation).
+    """
+
+    def window_end(side, i, boundary):
+        # has side[i] moved past the current multiword window?
+        if i >= len(side):
+            return True
+        _tid, _w, s, e, mw = side[i]
+        return s >= boundary if mw else e > boundary
+
+    def grow(side, i, boundary):
+        _tid, _w, _s, e, mw = side[i]
+        return e if (mw and e > boundary) else boundary
+
+    def lcs_pairs(gwin, swin):
+        # classic LCS table on lowercased forms, then greedy replay
+        ng, ns = len(gwin), len(swin)
+        tab = [[0] * (ns + 1) for _ in range(ng + 1)]
+        for g in range(ng - 1, -1, -1):
+            for s in range(ns - 1, -1, -1):
+                best = max(tab[g + 1][s], tab[g][s + 1])
+                if gwin[g][1].lower() == swin[s][1].lower():
+                    best = max(best, 1 + tab[g + 1][s + 1])
+                tab[g][s] = best
+        out, g, s = [], 0, 0
+        while g < ng and s < ns:
+            if gwin[g][1].lower() == swin[s][1].lower():
+                out.append((gwin[g][0], swin[s][0]))
+                g, s = g + 1, s + 1
+            elif tab[g][s] == tab[g + 1][s]:
+                g += 1
+            else:
+                s += 1
+        return out
+
+    pairs: list[tuple[int, int]] = []
+    gi = si = 0
+    while gi < len(gold) and si < len(system):
+        g_mw, s_mw = gold[gi][4], system[si][4]
+        if g_mw or s_mw:
+            # minimal window where both sides cross one char boundary
+            if g_mw:
+                boundary = gold[gi][3]
+                if not s_mw and system[si][2] < gold[gi][2]:
+                    si += 1
+            else:
+                boundary = system[si][3]
+                if not g_mw and gold[gi][2] < system[si][2]:
+                    gi += 1
+            gs, ss = gi, si
+            while (not window_end(gold, gi, boundary)
+                   or not window_end(system, si, boundary)):
+                if gi < len(gold) and (si >= len(system)
+                                       or gold[gi][2] <= system[si][2]):
+                    boundary = grow(gold, gi, boundary)
+                    gi += 1
+                else:
+                    boundary = grow(system, si, boundary)
+                    si += 1
+            if gi > gs and si > ss:
+                pairs.extend(lcs_pairs(gold[gs:gi], system[ss:si]))
+        elif (gold[gi][2], gold[gi][3]) == (system[si][2], system[si][3]):
+            pairs.append((gold[gi][0], system[si][0]))
+            gi, si = gi + 1, si + 1
+        elif gold[gi][2] <= system[si][2]:
+            gi += 1
+        else:
+            si += 1
+    return pairs
+
+
+def align_tokens(gold: DataFrame, system: DataFrame,
+                 word_col: str = "word") -> DataFrame:
+    """Aligned (gold_token_id, system_token_id) pairs per sentence.
+
+    Inputs need (doc_id, sent_id, token_id, word[, span_start,
+    span_end, is_multiword]); spans are derived via `with_char_spans`
+    when absent.  Callers guarantee both sides tokenize the same
+    character stream (the reference raises on mismatch,
+    conll18_ud_eval.py:500-513; here span arithmetic makes mismatched
+    streams simply fail to align, which the caller can assert on).
+    """
+    def prep(df):
+        if "span_start" not in df.columns:
+            df = with_char_spans(df, word_col)
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("sent_id").cast("int").alias("sent_id"),
+            F.col("token_id").cast("int").alias("token_id"),
+            F.col(word_col).alias("word"),
+            "span_start", "span_end", "is_multiword")
+
+    def align(key, gpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        def rows(pdf):
+            pdf = pdf.sort_values("token_id")
+            return list(zip(pdf["token_id"], pdf["word"], pdf["span_start"],
+                            pdf["span_end"], pdf["is_multiword"]))
+
+        g, s = rows(gpdf), rows(spdf)
+        matched = _align_sentence(g, s) if g and s else []
+        return pd.DataFrame({
+            "doc_id": [key[0]] * len(matched),
+            "sent_id": [key[1]] * len(matched),
+            "gold_token_id": [a for a, _ in matched],
+            "system_token_id": [b for _, b in matched],
+        })
+
+    return (prep(gold).groupBy(*SENT_KEY)
+            .cogroup(prep(system).groupBy(*SENT_KEY))
+            .applyInPandas(align, schema=ALIGNED_SCHEMA))
+
+
+def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
+    """UAS/LAS over LCS-aligned tokens (the conll18_ud_eval scoring
+    shape for diverging tokenizations): heads compare as ALIGNED head
+    words, not raw indices (conll18_ud_eval.py:536-543).
+
+    Inputs: (doc_id, sent_id, token_id, word, head, deprel).  One row:
+    (n_aligned, uas_permille, las_permille), integer DIV only.
+    """
+    aligned = align_tokens(gold, system).cache()
+    # map each side's head index to its aligned counterpart: an arc is
+    # correct when the head of the gold word aligns to the head of the
+    # system word (root, head 0, matches root)
+    g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
+                    F.col("head").alias("g_head"), F.col("deprel").alias("g_rel"))
+    s = system.select(*SENT_KEY, F.col("token_id").alias("system_token_id"),
+                      F.col("head").alias("s_head"), F.col("deprel").alias("s_rel"))
+    j = aligned.join(g, SENT_KEY + ["gold_token_id"]).join(
+        s, SENT_KEY + ["system_token_id"])
+    head_map = aligned.select(
+        *SENT_KEY, F.col("gold_token_id").alias("g_head"),
+        F.col("system_token_id").alias("s_head_aligned"))
+    j = j.join(head_map, SENT_KEY + ["g_head"], "left")
+    ua = (F.col("g_head") == 0) & (F.col("s_head") == 0) | (
+        F.col("s_head_aligned") == F.col("s_head"))
+    la = ua & (F.col("g_rel") == F.col("s_rel"))
+    agg = j.agg(F.count(F.lit(1)).alias("n_aligned"),
+                F.sum(ua.cast("long")).alias("n_ua"),
+                F.sum(la.cast("long")).alias("n_la"))
+    return agg.select(
+        "n_aligned",
+        F.expr("CAST((n_ua * 1000) DIV greatest(n_aligned, 1) AS INT)")
+        .alias("uas_permille"),
+        F.expr("CAST((n_la * 1000) DIV greatest(n_aligned, 1) AS INT)")
+        .alias("las_permille"))

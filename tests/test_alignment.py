@@ -1,0 +1,144 @@
+"""Token-alignment parity vs the REFERENCE conll18_ud_eval module.
+
+The reference evaluator is pure stdlib, so we import it straight from
+/root/reference and compare its word-alignment counts against the
+distributed operator on the same sentences (the same pattern test_mst
+uses for the MST kernel).
+"""
+
+import importlib.util
+
+import pytest
+
+from phonlp_spark.ops.alignment import align_tokens, uas_las_aligned, with_char_spans
+from tests.spark_fixtures import spark  # noqa: F401
+
+
+def _load_reference_udeval():
+    spec = importlib.util.spec_from_file_location(
+        "conll18_ud_eval", "/root/reference/phonlp/utils/conll18_ud_eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _conllu(sentences):
+    """sentences: list of list of (id_or_range, form). 10-col CoNLL-U."""
+    out = []
+    for sent in sentences:
+        for tid, form in sent:
+            cols = [str(tid), form, "_", "X", "_", "_",
+                    "0" if "-" not in str(tid) else "_",
+                    "dep" if "-" not in str(tid) else "_", "_", "_"]
+            out.append("\t".join(cols))
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+# Sentence: surface chars "abcdux"; gold splits the MWT "du" into de+le.
+GOLD_SENT = [("1", "ab"), ("2", "c"), ("3-4", "du"), ("3", "de"),
+             ("4", "le"), ("5", "x")]
+# System A: failed to split "du" (plain token)
+SYSA_SENT = [("1", "ab"), ("2", "c"), ("3", "du"), ("4", "x")]
+# System B: split "du" but mislabeled the second word's form
+SYSB_SENT = [("1", "ab"), ("2", "c"), ("3-4", "du"), ("3", "de"),
+             ("4", "la"), ("5", "x")]
+
+
+def _reference_aligned(gold_sent, sys_sent):
+    ud = _load_reference_udeval()
+    import io
+    gold = ud.load_conllu(io.StringIO(_conllu([gold_sent])))
+    syst = ud.load_conllu(io.StringIO(_conllu([sys_sent])))
+    return ud.evaluate(gold, syst)["Words"].correct
+
+
+def _rows_from_conllu_sent(sent):
+    """Mirror conll18_ud_eval's span construction: every word inside a
+    multiword range carries the SURFACE token's span."""
+    rows, pos, mw_until, mw_span = [], 0, 0, None
+    word_id = 0
+    for tid, form in sent:
+        if "-" in str(tid):
+            a, b = map(int, str(tid).split("-"))
+            mw_until, mw_span = b, (pos, pos + len(form))
+            pos += len(form)
+            continue
+        word_id += 1
+        if int(tid) <= mw_until:
+            rows.append((word_id, form, mw_span[0], mw_span[1], True))
+        else:
+            rows.append((word_id, form, pos, pos + len(form), False))
+            pos += len(form)
+    return rows
+
+
+def _df(spark, sent, doc="d0"):  # noqa: F811
+    rows = [(doc, 0, tid, w, s, e, mw)
+            for (tid, w, s, e, mw) in _rows_from_conllu_sent(sent)]
+    return spark.createDataFrame(
+        rows, "doc_id string, sent_id int, token_id int, word string, "
+              "span_start int, span_end int, is_multiword boolean")
+
+
+@pytest.mark.parametrize("sys_sent", [SYSA_SENT, SYSB_SENT])
+def test_alignment_matches_reference_module(spark, sys_sent):  # noqa: F811
+    want = _reference_aligned(GOLD_SENT, sys_sent)
+    got = align_tokens(_df(spark, GOLD_SENT), _df(spark, sys_sent)).count()
+    assert got == want
+
+
+def test_identity_tokenization_aligns_everything(spark):  # noqa: F811
+    toks = [(f"d{i}", 0, j + 1, w) for i in range(3)
+            for j, w in enumerate(["tôi", "thăm", "Hà_Nội", "."])]
+    df = spark.createDataFrame(
+        toks, "doc_id string, sent_id int, token_id int, word string")
+    pairs = align_tokens(df, df).collect()
+    assert len(pairs) == len(toks)
+    assert all(r["gold_token_id"] == r["system_token_id"] for r in pairs)
+
+
+def test_span_divergence_aligns_only_matching_spans(spark):  # noqa: F811
+    gold = spark.createDataFrame(
+        [("d", 0, 1, "ab"), ("d", 0, 2, "c"), ("d", 0, 3, "x")],
+        "doc_id string, sent_id int, token_id int, word string")
+    syst = spark.createDataFrame(
+        [("d", 0, 1, "a"), ("d", 0, 2, "bc"), ("d", 0, 3, "x")],
+        "doc_id string, sent_id int, token_id int, word string")
+    got = {(r["gold_token_id"], r["system_token_id"])
+           for r in align_tokens(gold, syst).collect()}
+    assert got == {(3, 3)}  # only 'x' shares an exact char span
+
+
+def test_with_char_spans_offsets(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        [("d", 0, 1, "ab"), ("d", 0, 2, "c"), ("d", 0, 3, "xyz")],
+        "doc_id string, sent_id int, token_id int, word string")
+    rows = {r["token_id"]: (r["span_start"], r["span_end"])
+            for r in with_char_spans(df).collect()}
+    assert rows == {1: (0, 2), 2: (2, 3), 3: (3, 6)}
+
+
+def test_uas_las_aligned_identity_perfect(spark):  # noqa: F811
+    rows = [("d", 0, 1, "a", 2, "sub"), ("d", 0, 2, "b", 0, "root"),
+            ("d", 0, 3, "c", 2, "dob")]
+    schema = ("doc_id string, sent_id int, token_id int, word string, "
+              "head int, deprel string")
+    df = spark.createDataFrame(rows, schema)
+    got = uas_las_aligned(df, df).collect()[0]
+    assert (got["n_aligned"], got["uas_permille"], got["las_permille"]) == (3, 1000, 1000)
+
+
+def test_uas_las_aligned_detects_head_errors(spark):  # noqa: F811
+    gold = spark.createDataFrame(
+        [("d", 0, 1, "a", 2, "sub"), ("d", 0, 2, "b", 0, "root"),
+         ("d", 0, 3, "c", 2, "dob")],
+        "doc_id string, sent_id int, token_id int, word string, head int, deprel string")
+    syst = spark.createDataFrame(
+        [("d", 0, 1, "a", 2, "sub"), ("d", 0, 2, "b", 0, "root"),
+         ("d", 0, 3, "c", 1, "dob")],  # wrong head on token 3
+        "doc_id string, sent_id int, token_id int, word string, head int, deprel string")
+    got = uas_las_aligned(gold, syst).collect()[0]
+    assert got["n_aligned"] == 3
+    assert got["uas_permille"] == 666
+    assert got["las_permille"] == 666

@@ -49,7 +49,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # measured on the kernel stage (80k docs, local[32]): 16-32k
+        # records/batch runs ~15-25% faster than 2k — fewer Arrow hops,
+        # better length-bucketing inside the kernel; peak kernel memory
+        # stays bounded by its internal forward chunking, not the batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

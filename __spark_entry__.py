@@ -311,13 +311,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing ----
     q["media_kind_stats"] = lambda s, d: media_kind_stats(_interleaved(s, d))
 
+    def _media_payload(s, d):
+        from phonlp_spark.ops.multimodal import attach_fake_payload, media_spans
+        return attach_fake_payload(media_spans(_interleaved(s, d)))
+
     def media_features(s, d):
-        from phonlp_spark.ops.multimodal import (
-            attach_fake_payload, extract_media_features, media_spans)
-        m = attach_fake_payload(media_spans(_interleaved(s, d)))
-        return extract_media_features(m).select(
+        from phonlp_spark.ops.multimodal import extract_media_features
+        return extract_media_features(_media_payload(s, d)).select(
             "doc_id", "media_ref", "kind", "n_bytes", "checksum")
     q["media_features"] = media_features
+
+    def media_resize(s, d):
+        from phonlp_spark.ops.multimodal import resize_media
+        return resize_media(_media_payload(s, d))
+    q["media_resize"] = media_resize
+
+    def media_frames(s, d):
+        from phonlp_spark.ops.multimodal import sample_frames
+        return sample_frames(_media_payload(s, d))
+    q["media_frames"] = media_frames
 
     # ---- relational core over TPC-H-ish tables (SURVEY §2.3, §2.4, §2.6) ----
     # Money math is integer cents END TO END: per-row round(x*100) to
@@ -718,7 +730,7 @@ FROM media GROUP BY kind"""
     # mirrors interleave_documents' media rule (chunk k gets a media span
     # when (doc_id+k)%3=0; ref = media://md5(doc_id:k)) and
     # attach_fake_payload's md5-derived repeat count
-    o["media_features"] = f"""
+    media_cte = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 chunks AS (
   SELECT doc_id, k FROM t,
@@ -736,10 +748,27 @@ p AS (
                 CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 64 + 8 AS INT)) AS payload
   FROM media
 )
+"""
+
+    o["media_features"] = media_cte + """
 SELECT doc_id, media_ref, kind,
        CAST(length(payload) AS INT) AS n_bytes,
        ('0x' || substr(md5(payload), 1, 15))::BIGINT AS checksum
 FROM p"""
+
+    o["media_resize"] = media_cte + """
+SELECT doc_id, media_ref, kind,
+       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+       ('0x' || substr(md5(payload || ':64x64'), 1, 15))::BIGINT AS thumb_checksum
+FROM p"""
+
+    o["media_frames"] = media_cte + """
+, vids AS (SELECT doc_id, media_ref, payload,
+                  length(payload) % 7 + 2 AS n_frames
+           FROM p WHERE kind = 'video')
+SELECT doc_id, media_ref, CAST(k AS INT) AS frame_idx,
+       ('0x' || substr(md5(payload || ':f' || CAST(k AS VARCHAR)), 1, 15))::BIGINT AS frame_checksum
+FROM vids, UNNEST(range(n_frames)) AS u(k)"""
 
     o["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,

@@ -97,6 +97,91 @@ def extract_media_features(media_with_payload: DataFrame) -> DataFrame:
     return media_with_payload.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumb_checksum", T.LongType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_checksum", T.LongType()),
+])
+
+
+def _h60(data: bytes) -> int:
+    import hashlib
+    return int(hashlib.md5(data).hexdigest()[:15], 16)
+
+
+def resize_media(media_with_payload: DataFrame, width: int = 64,
+                 height: int = 64) -> DataFrame:
+    """Decode + resize stub with the real Spark plumbing.
+
+    A production decoder (pillow/ffmpeg) replaces the body of the
+    per-row step; the Arrow batch shape, schema, and partitioning are
+    what this pins down.  The stub derives source dims and the resized
+    thumbnail's checksum deterministically from the payload bytes, so
+    the op is oracle-checkable end to end.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from phonlp_spark.kernel.runtime import tune_worker_runtime
+        tune_worker_runtime()
+        for pdf in it:
+            sums = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                data = bytes(payload)
+                # stands in for: decode(data).resize((width, height))
+                sums.append(_h60(data + f":{width}x{height}".encode()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "media_ref": pdf["media_ref"].values,
+                "kind": pdf["kind"].values,
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "thumb_checksum": sums,
+            })
+
+    return media_with_payload.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media_with_payload: DataFrame, every_n: int = 1) -> DataFrame:
+    """Frame sampling stub for video spans (real plumbing, fake codec).
+
+    The stub's frame count is payload_len % 7 + 2 and each frame's
+    checksum hashes (payload, frame index) — deterministic and
+    SQL-derivable.  A real ffmpeg step changes only the inner loop; the
+    one-row-in/many-rows-out Arrow shape is the point.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from phonlp_spark.kernel.runtime import tune_worker_runtime
+        tune_worker_runtime()
+        for pdf in it:
+            docs, refs, idxs, sums = [], [], [], []
+            for doc, ref, kind, payload in zip(
+                    pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                data = bytes(payload)
+                n_frames = len(data) % 7 + 2
+                for k in range(0, n_frames, every_n):
+                    docs.append(doc)
+                    refs.append(ref)
+                    idxs.append(k)
+                    sums.append(_h60(data + f":f{k}".encode()))
+            yield pd.DataFrame({"doc_id": docs, "media_ref": refs,
+                                "frame_idx": idxs, "frame_checksum": sums})
+
+    return media_with_payload.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def media_kind_stats(documents: DataFrame) -> DataFrame:
     """(kind, n_spans, n_docs) over media spans — pure JVM aggregate."""
     m = media_spans(documents)

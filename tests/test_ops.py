@@ -167,3 +167,26 @@ def test_sketch_parameters_scale(spark, docs):  # noqa: F811
             [(i, [float(i % 7) - 3.0] * 64) for i in range(20)],
             "vec_id long, embedding array<float>"), planes=6)
     assert b.agg(F.max("bucket")).collect()[0][0] < 64
+
+
+def test_media_resize_and_frames(spark):  # noqa: F811
+    """Resize/frame-sample plumbing: Arrow batch shape, video-only
+    frames, deterministic stub checksums."""
+    from phonlp_spark.ops.multimodal import (
+        attach_fake_payload, resize_media, sample_frames)
+
+    rows = [("d1", 0, "image", "media://aaa"), ("d1", 1, "video", "media://bbb"),
+            ("d2", 0, "audio", "media://ccc")]
+    m = attach_fake_payload(spark.createDataFrame(
+        rows, "doc_id string, span_idx int, kind string, media_ref string"))
+
+    rs = resize_media(m, width=32, height=16).collect()
+    assert len(rs) == 3
+    assert all((r["width"], r["height"]) == (32, 16) for r in rs)
+    assert len({r["thumb_checksum"] for r in rs}) == 3  # payload-derived
+
+    fr = sample_frames(m).collect()
+    assert fr and all(r["media_ref"] == "media://bbb" for r in fr)
+    idxs = sorted(r["frame_idx"] for r in fr)
+    assert idxs == list(range(len(idxs)))  # contiguous from 0
+    assert len(sample_frames(m, every_n=2).collect()) == (len(fr) + 1) // 2

@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
     q["ann_lsh_topk_wide"] = lambda s, d: similarity.ann_topk_lsh(
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5, planes=6)
+    q["ann_ivf_cells"] = lambda s, d: similarity.ivf_cells(
+        _table(s, d, "embeddings"))
+    q["ann_ivf_topk"] = lambda s, d: similarity.ann_topk_ivf(
+        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
     # embedding-cosine near-dup (dedup family member): LSH-bucketed
     # candidates, exact-cosine threshold (300 fits the synthetic
     # embeddings' similarity range; production uses ~950)
@@ -493,6 +497,19 @@ def _lsh_bucket_expr(vec_col: str = "embedding", planes: int | None = None) -> s
     return " + ".join(terms)
 
 
+def _ivf_cell_expr(vec_col: str = "embedding") -> str:
+    from phonlp_spark.ops.similarity import seeded_centroids
+    import numpy as np
+    cents = seeded_centroids()
+    terms = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        terms.append(
+            f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {arr}) - {float(np.dot(c, c) / 2.0)!r}")
+    scores = "[" + ", ".join(terms) + "]"
+    return (f"(list_position({scores}, list_max({scores})) - 1)")
+
+
 def oracle_sql() -> dict[str, str]:
     from phonlp_spark.ops.textstats import PUNCT_RE, STOP_EN, STOP_VI
 
@@ -656,6 +673,24 @@ scored AS (
          / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
   FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
+
+    o["ann_ivf_cells"] = f"""
+SELECT vec_id, CAST({_ivf_cell_expr()} AS INT) AS cell FROM embeddings"""
+
+    o["ann_ivf_topk"] = f"""
+WITH b AS (SELECT vec_id, CAST({_ivf_cell_expr()} AS INT) AS cell, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, cell FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+  FROM b e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
 ),
 r AS (SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank

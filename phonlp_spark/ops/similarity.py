@@ -142,3 +142,60 @@ def embedding_near_dups(embeddings: DataFrame, min_cos_x1000: int = 950,
         .filter(F.col("cos_x1000") >= min_cos_x1000)
     )
     return pairs.select("a", "b", "cos_x1000")
+
+
+def seeded_centroids(seed: int = 11, n_cells: int = 8,
+                     dim: int = EMB_DIM) -> np.ndarray:
+    """IVF cell centroids.  Seeded draws here (deterministic, engine-
+    independent literals in the plan); production swaps in k-means-
+    trained centroids from a sample — the assign/search dataflow below
+    is identical either way."""
+    return np.random.default_rng(seed).normal(size=(n_cells, dim))
+
+
+def ivf_cells(embeddings: DataFrame, seed: int = 11, n_cells: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, pure per-row codegen.
+
+    argmin ||v-c||^2 == argmax (v.c - |c|^2/2); scores go into an array
+    and the cell is the FIRST index holding the max (array_position) —
+    the same first-match rule ANSI engines implement, so oracles agree.
+    """
+    cents = seeded_centroids(seed, n_cells)
+    scores = F.array(*[
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        - F.lit(float(np.dot(c, c) / 2.0))
+        for c in cents
+    ])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return embeddings.select(F.col(id_col).alias("vec_id"), cell.alias("cell"))
+
+
+def ann_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                 seed: int = 11, n_cells: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: exact cosine rescoring restricted to the
+    query's own cell (n_probe=1).  Scale shape: the corpus partitions
+    into n_cells inverted lists; a query touches |corpus|/n_cells
+    candidates instead of everything, and n_cells grows with corpus."""
+    c_assign = ivf_cells(embeddings, seed, n_cells, id_col, vec_col) \
+        .withColumnRenamed("vec_id", "_cid")
+    e = embeddings.join(c_assign, F.col(id_col) == F.col("_cid")).drop("_cid")
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col("cell"))
+    cand = e.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cvec"), F.col("cell"))
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec"))
+                    / (norm(F.col("qvec")) * norm(F.col("cvec"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

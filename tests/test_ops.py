@@ -190,3 +190,24 @@ def test_media_resize_and_frames(spark):  # noqa: F811
     idxs = sorted(r["frame_idx"] for r in fr)
     assert idxs == list(range(len(idxs)))  # contiguous from 0
     assert len(sample_frames(m, every_n=2).collect()) == (len(fr) + 1) // 2
+
+
+def test_ivf_cells_and_topk(spark):  # noqa: F811
+    """IVF: cells partition the corpus; same-cell search returns valid
+    ranked neighbors; cell count respects n_cells."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=64)]) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    cells = similarity.ivf_cells(emb, n_cells=4)
+    got = cells.collect()
+    assert len(got) == 80
+    assert {r["cell"] for r in got} <= set(range(4))
+    topk = similarity.ann_topk_ivf(emb, query_ids=[0, 1, 2], k=3, n_cells=4).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["neighbor_id"] != r["query_id"]
+    for q_ranks in by_q.values():
+        assert sorted(q_ranks) == list(range(1, len(q_ranks) + 1))

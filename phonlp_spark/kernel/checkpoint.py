@@ -96,17 +96,20 @@ def load_checkpoint(save_dir: str) -> ModelWeights:
     raise FileNotFoundError(f"no weights.npz or phonlp.pt under {save_dir}")
 
 
-# Reference state_dict name -> engine field.  Inventory from the
-# reference JointModel (phonlp/annotate_model.py:18-111); extend as the
-# production export dictates.  Linear layers are stored [out, in] by
-# torch, the engine multiplies x @ W -> transpose on ingest.
+# Reference state_dict name -> engine field.  Inventory verified
+# against the reference JointModel (phonlp/annotate_model.py:44-101:
+# upos_hid/upos_clf Linears, upos_emb_matrix_{ner,dep} bare Parameters,
+# ner_tag_clf, dep_hid, crit_ner CRF transitions at
+# models/common/crf.py:21).  Linear layers are stored [out, in] by
+# torch, the engine multiplies x @ W -> transpose on ingest; bare
+# Parameters keep their shape.
 _TORCH_NAME_MAP = {
     "upos_hid.weight": ("pos_w1", True),
     "upos_hid.bias": ("pos_b1", False),
     "upos_clf.weight": ("pos_w2", True),
     "upos_clf.bias": ("pos_b2", False),
-    "upos_emb.weight": ("upos_emb_ner", False),
-    "upos_emb_parser.weight": ("upos_emb_dep", False),
+    "upos_emb_matrix_ner": ("upos_emb_ner", False),
+    "upos_emb_matrix_dep": ("upos_emb_dep", False),
     "ner_tag_clf.weight": ("ner_w", True),
     "ner_tag_clf.bias": ("ner_b", False),
     "crit_ner._transitions": ("crf_trans", False),
@@ -115,28 +118,46 @@ _TORCH_NAME_MAP = {
 }
 
 
+def arrays_from_reference_state(state: dict) -> dict[str, np.ndarray]:
+    """Map a reference state_dict (as plain numpy arrays) onto engine
+    array names.  Torch-free so the mapping itself is unit-testable in
+    this sandbox; _load_torch_checkpoint feeds it tensor.numpy()s.
+
+    DeepBiaffineScorer layout (models/common/biaffine.py:68-85):
+    {prefix}.W1/.W2 Linears + {prefix}.scorer.W_bilin, whose
+    PairwiseBilinear weight is already [D1+1, D2+1, O] (the engine's u
+    layout).  Its separate bias multiplies the constant-1 feature pair,
+    which is exactly the u[-1, -1, :] corner -> folded in here.
+    """
+    arrays: dict[str, np.ndarray] = {}
+    for tname, (ename, transpose) in _TORCH_NAME_MAP.items():
+        t = np.asarray(state[tname])
+        arrays[ename] = t.T.copy() if transpose else t
+    for b, prefix in (("arc", "unlabeled"), ("rel", "deprel"),
+                      ("lin", "linearization"), ("dist", "distance")):
+        arrays[f"{b}.w1"] = np.asarray(state[f"{prefix}.W1.weight"]).T.copy()
+        arrays[f"{b}.b1"] = np.asarray(state[f"{prefix}.W1.bias"])
+        arrays[f"{b}.w2"] = np.asarray(state[f"{prefix}.W2.weight"]).T.copy()
+        arrays[f"{b}.b2"] = np.asarray(state[f"{prefix}.W2.bias"])
+        u = np.asarray(state[f"{prefix}.scorer.W_bilin.weight"]).copy()
+        bias = state.get(f"{prefix}.scorer.W_bilin.bias")
+        if bias is not None:
+            u[-1, -1, :] = u[-1, -1, :] + np.asarray(bias)
+        arrays[f"{b}.u"] = u
+    return arrays
+
+
 def _load_torch_checkpoint(pt_path: str) -> ModelWeights:
     try:
-        import torch  # noqa: F401  (absent in this sandbox; prod path)
+        import torch
     except ImportError as ex:
         raise RuntimeError(
             f"{pt_path} is a torch checkpoint but torch is not installed; "
             "convert it to weights.npz with save_checkpoint() on a "
             "torch-capable host") from ex
-    import torch
     ckpt = torch.load(pt_path, map_location="cpu")
-    state = ckpt["model"]
-    arrays: dict[str, np.ndarray] = {}
-    for tname, (ename, transpose) in _TORCH_NAME_MAP.items():
-        t = state[tname].numpy()
-        arrays[ename] = t.T.copy() if transpose else t
-    for b, prefix in (("arc", "unlabeled"), ("rel", "deprel"),
-                      ("lin", "linearization"), ("dist", "distance")):
-        arrays[f"{b}.w1"] = state[f"{prefix}.W1.weight"].numpy().T.copy()
-        arrays[f"{b}.b1"] = state[f"{prefix}.W1.bias"].numpy()
-        arrays[f"{b}.w2"] = state[f"{prefix}.W2.weight"].numpy().T.copy()
-        arrays[f"{b}.b2"] = state[f"{prefix}.W2.bias"].numpy()
-        arrays[f"{b}.u"] = state[f"{prefix}.W_bilin.weight"].numpy()
+    state = {k: v.numpy() for k, v in ckpt["model"].items()}
+    arrays = arrays_from_reference_state(state)
     vocab = ckpt["vocab"]
     meta = {"n_pos": len(vocab["upos"]), "n_ner": len(vocab["ner_tag"]),
             "n_rel": len(vocab["deprel"])}

@@ -32,6 +32,46 @@ def test_roundtrip_annotations_identical(tmp_path):
     assert a == b
 
 
+def test_reference_state_dict_mapping_roundtrip():
+    """Build a reference-shaped state_dict FROM seeded engine weights
+    (inverting the transposes and the bilinear-bias fold), map it back
+    through arrays_from_reference_state, and require byte-identical
+    annotations — proving the torch name map and layout conventions."""
+    from phonlp_spark.kernel.checkpoint import (
+        _from_arrays, arrays_from_reference_state)
+
+    w = seeded_weights(seed=42)
+    state = {
+        "upos_hid.weight": w.pos_w1.T, "upos_hid.bias": w.pos_b1,
+        "upos_clf.weight": w.pos_w2.T, "upos_clf.bias": w.pos_b2,
+        "upos_emb_matrix_ner": w.upos_emb_ner,
+        "upos_emb_matrix_dep": w.upos_emb_dep,
+        "ner_tag_clf.weight": w.ner_w.T, "ner_tag_clf.bias": w.ner_b,
+        "crit_ner._transitions": w.crf_trans,
+        "dep_hid.weight": w.dep_w.T, "dep_hid.bias": w.dep_b,
+    }
+    for b, prefix in (("arc", "unlabeled"), ("rel", "deprel"),
+                      ("lin", "linearization"), ("dist", "distance")):
+        biaff = getattr(w, b)
+        u = biaff.u.copy()
+        bias = np.full(u.shape[2], 0.25, dtype=np.float32)
+        u[-1, -1, :] -= bias  # the loader folds it back in
+        state[f"{prefix}.W1.weight"] = biaff.w1.T
+        state[f"{prefix}.W1.bias"] = biaff.b1
+        state[f"{prefix}.W2.weight"] = biaff.w2.T
+        state[f"{prefix}.W2.bias"] = biaff.b2
+        state[f"{prefix}.scorer.W_bilin.weight"] = u
+        state[f"{prefix}.scorer.W_bilin.bias"] = bias
+
+    arrays = arrays_from_reference_state(state)
+    w2 = _from_arrays(arrays, {"n_pos": w.n_pos, "n_ner": w.n_ner,
+                               "n_rel": w.n_rel})
+    np.testing.assert_allclose(w2.arc.u, w.arc.u, rtol=0, atol=1e-6)
+    a = AnnotationKernel(weights=w).annotate(SENTS)
+    b = AnnotationKernel(weights=w2).annotate(SENTS)
+    assert a == b
+
+
 def test_missing_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_checkpoint(str(tmp_path / "nowhere"))

@@ -156,12 +156,9 @@ def test_sketch_parameters_scale(spark, docs):  # noqa: F811
     6 hyperplanes) — the production-sized configuration."""
     sig = dedup.minhash_signatures(docs, n_minhash=32)
     assert [c for c in sig.columns if c.startswith("mh")] == [f"mh{j}" for j in range(32)]
-    pairs = dedup.lsh_candidate_pairs(docs, n_minhash=32, band=4)
-    narrow = dedup.lsh_candidate_pairs(docs)
-    got = {(r["a"], r["b"]) for r in pairs.collect()}
-    # exact duplicates always collide regardless of parameters
-    for p in {(r["a"], r["b"]) for r in narrow.collect()} & got:
-        assert p in got
+    got = {(r["a"], r["b"])
+           for r in dedup.lsh_candidate_pairs(docs, n_minhash=32, band=4).collect()}
+    assert (1, 2) in got  # exact dups collide in every band configuration
     b = similarity.lsh_buckets(
         spark.createDataFrame(
             [(i, [float(i % 7) - 3.0] * 64) for i in range(20)],

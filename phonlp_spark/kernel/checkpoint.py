@@ -158,10 +158,47 @@ def _load_torch_checkpoint(pt_path: str) -> ModelWeights:
     ckpt = torch.load(pt_path, map_location="cpu")
     state = {k: v.numpy() for k, v in ckpt["model"].items()}
     arrays = arrays_from_reference_state(state)
-    vocab = ckpt["vocab"]
-    meta = {"n_pos": len(vocab["upos"]), "n_ner": len(vocab["ner_tag"]),
-            "n_rel": len(vocab["deprel"])}
-    return _from_arrays(arrays, meta)
+    meta = meta_from_reference_vocab(ckpt["vocab"])
+    weights = _from_arrays(arrays, meta)
+    check_vocab_shapes(weights)
+    return weights
+
+
+def _vocab_size(v) -> int:
+    """Tag-inventory size of one saved vocab.
+
+    The reference BaseVocab.state_dict() is an ATTRIBUTE dict
+    (lang/idx/cutoff/lower/_unit2id/_id2unit — models/common/vocab.py:28),
+    so len(state_dict) is the attribute count (~6), never the inventory.
+    The inventory is len(_id2unit).  Plain id lists (engine-native test
+    fixtures) fall through to len().
+    """
+    if isinstance(v, dict) and "_id2unit" in v:
+        return len(v["_id2unit"])
+    return len(v)
+
+
+def meta_from_reference_vocab(vocab: dict) -> dict:
+    """n_pos/n_ner/n_rel from a reference MultiVocab.state_dict()
+    (keys upos/ner_tag/deprel, trainer.py:171)."""
+    return {"n_pos": _vocab_size(vocab["upos"]),
+            "n_ner": _vocab_size(vocab["ner_tag"]),
+            "n_rel": _vocab_size(vocab["deprel"])}
+
+
+def check_vocab_shapes(w: ModelWeights) -> None:
+    """Cross-check declared vocab sizes against the weight arrays that
+    must agree with them: upos_clf bias (n_pos), ner_tag_clf bias
+    (n_ner), deprel-biaffine output dim (n_rel)."""
+    checks = (("n_pos", w.n_pos, int(w.pos_b2.shape[0])),
+              ("n_ner", w.n_ner, int(w.ner_b.shape[0])),
+              ("n_rel", w.n_rel, int(w.rel.u.shape[2])))
+    bad = [f"{name}={declared} but weight dim is {dim}"
+           for name, declared, dim in checks if declared != dim]
+    if bad:
+        raise ValueError(
+            "checkpoint vocab sizes disagree with weight shapes: "
+            + "; ".join(bad))
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +259,15 @@ class SubwordEncoder:
             if not subs:
                 continue
             # indices are positions inside [CLS]+subwords+[SEP]; the
-            # embedding below covers subwords only -> shift by the CLS slot
-            gather = [ix - 1 for ix in first_subword_indices(counts)]
+            # embedding below covers subwords only -> shift by the CLS slot.
+            # A zero-subword word keeps the reference behavior of pointing
+            # at the NEXT position (its successor's first subword); when
+            # that overflows — zero-subword FINAL word, where the
+            # reference gathers the SEP slot that this embedding doesn't
+            # carry — clamp to the last real subword instead of indexing
+            # out of bounds.
+            gather = [min(ix - 1, len(subs) - 1)
+                      for ix in first_subword_indices(counts)]
             emb = np.asarray(self.embed(subs), dtype=np.float32)
             out[i, : len(sent)] = emb[gather]
         return out

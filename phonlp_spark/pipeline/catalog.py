@@ -46,19 +46,27 @@ class CatalogTable:
     def _append_snapshot(self, snap: dict) -> None:
         # serialize read-append-replace: without the lock, two
         # concurrent commits would both read the same history and the
-        # later os.replace would drop the earlier snapshot
+        # later os.replace would drop the earlier snapshot.  The lock is
+        # an OS advisory flock, NOT an O_EXCL sentinel file: flock dies
+        # with the process, so a kill -9 between acquire and release
+        # can't leave a stale lock that blocks every later commit.  The
+        # lock file itself is never unlinked (unlink+recreate would let
+        # two processes flock different inodes of the same path).
+        import fcntl
         lock = self._log_path() + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
         deadline = time.time() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"snapshot log lock held too long: {lock}") from None
-                time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, InterruptedError):
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"snapshot log lock held too long: {lock}"
+                        ) from None
+                    time.sleep(0.05)
             log = self.history()
             log.append(snap)
             tmp = self._log_path() + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -66,8 +74,7 @@ class CatalogTable:
                 json.dump(log, f, indent=1)
             os.replace(tmp, self._log_path())  # atomic commit point
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            os.close(fd)  # closing releases the flock
 
     def current(self) -> dict | None:
         log = self.history()

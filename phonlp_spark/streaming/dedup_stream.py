@@ -25,12 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = T.StructType([
-    T.StructField("digest", T.StringType()),
-    T.StructField("doc_id", T.StringType()),
-    T.StructField("text", T.StringType()),
-])
-
 STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
@@ -43,6 +37,10 @@ def _first_arrival(key, pdfs: Iterator[pd.DataFrame],
         return
     first = None
     for pdf in pdfs:
+        # tie-break matches the batch engine's min(doc_id)
+        # (ops/dedup.py): compare in the key's NATIVE dtype — the
+        # column is never cast to string, so numeric ids order
+        # numerically ('10' < '2' lexicographic bugs can't happen)
         pdf = pdf.sort_values("doc_id")
         cand = pdf.iloc[0]
         if first is None or cand["doc_id"] < first["doc_id"]:
@@ -60,16 +58,23 @@ def streaming_exact_dedup(docs_stream: DataFrame,
     stream out: one row per distinct text content, ever.
 
     Attach to a writeStream with a checkpointLocation; the seen-set
-    survives restarts via the state store.
+    survives restarts via the state store.  The kept representative per
+    digest is min(doc_id) IN THE KEY'S NATIVE TYPE, identical to the
+    batch exact_dedup keep-rule.
     """
     keyed = docs_stream.select(
         F.md5(F.col(text_col)).alias("digest"),
-        F.col(key_col).cast("string").alias("doc_id"),
+        F.col(key_col).alias("doc_id"),
         F.col(text_col).alias("text"),
     )
+    out_schema = T.StructType([
+        T.StructField("digest", T.StringType()),
+        T.StructField("doc_id", docs_stream.schema[key_col].dataType),
+        T.StructField("text", T.StringType()),
+    ])
     return keyed.groupBy("digest").applyInPandasWithState(
         _first_arrival,
-        outputStructType=OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -25,6 +25,18 @@ def test_append_overwrite_time_travel(spark, tmp_path):  # noqa: F811
     assert hist[2]["total_rows"] == 2
 
 
+def test_stale_lock_file_does_not_block(spark, tmp_path):  # noqa: F811
+    """A lock file left behind by a kill -9'd process must not wedge
+    the log: the lock is an OS flock (released when its holder dies),
+    so a mere leftover file carries no lock and commits proceed."""
+    t = CatalogTable(str(tmp_path / "tbl"))
+    with open(t._log_path() + ".lock", "w"):
+        pass  # simulate the orphaned sentinel a dead process would leave
+    s1 = t.commit(spark.range(3).toDF("id"))
+    assert t.read(spark).count() == 3
+    assert t.history()[-1]["snapshot_id"] == s1["snapshot_id"]
+
+
 def test_read_errors(spark, tmp_path):  # noqa: F811
     t = CatalogTable(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):

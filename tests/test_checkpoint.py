@@ -72,6 +72,39 @@ def test_reference_state_dict_mapping_roundtrip():
     assert a == b
 
 
+def test_meta_from_reference_vocab_uses_id2unit():
+    """ckpt['vocab'][k] is BaseVocab.state_dict() — an ATTRIBUTE dict
+    (models/common/vocab.py:28 state_attrs), so len() would return 6
+    regardless of inventory.  Sizes must come from _id2unit."""
+    from phonlp_spark.kernel.checkpoint import meta_from_reference_vocab
+
+    def fake_vocab(units):
+        return {"lang": "vi", "idx": 0, "cutoff": 0, "lower": False,
+                "_unit2id": {u: i for i, u in enumerate(units)},
+                "_id2unit": list(units)}
+
+    vocab = {"upos": fake_vocab([f"P{i}" for i in range(17)]),
+             "ner_tag": fake_vocab([f"N{i}" for i in range(11)]),
+             "deprel": fake_vocab([f"R{i}" for i in range(29)])}
+    meta = meta_from_reference_vocab(vocab)
+    assert meta == {"n_pos": 17, "n_ner": 11, "n_rel": 29}
+    # plain id lists (engine-native fixtures) still work
+    plain = {"upos": ["A", "B"], "ner_tag": ["O"], "deprel": ["root"]}
+    assert meta_from_reference_vocab(plain) == {
+        "n_pos": 2, "n_ner": 1, "n_rel": 1}
+
+
+def test_check_vocab_shapes_catches_mismatch():
+    from phonlp_spark.kernel.checkpoint import check_vocab_shapes
+
+    w = seeded_weights(seed=42)
+    check_vocab_shapes(w)  # consistent weights pass
+    import dataclasses
+    bad = dataclasses.replace(w, n_pos=6)  # the attr-dict-len failure mode
+    with pytest.raises(ValueError, match="n_pos=6"):
+        check_vocab_shapes(bad)
+
+
 def test_missing_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_checkpoint(str(tmp_path / "nowhere"))
@@ -134,6 +167,27 @@ def test_subword_encoder_gathers_first_subword():
     np.testing.assert_array_equal(out[0, 1], base._word_vec("wo"))
     np.testing.assert_array_equal(out[1, 0], base._word_vec("x"))
     assert not out[1, 1].any()  # padding stays zero
+
+
+def test_subword_encoder_zero_subword_words():
+    """A word whose tokenize() returns [] must not crash the gather:
+    mid-sentence it points at its successor's first subword (reference
+    behavior), and a zero-subword FINAL word clamps to the last real
+    subword instead of indexing past the embedding."""
+    base = HashedNgramEncoder(dim=16)
+
+    def tokenize(w):
+        return [] if w.startswith("∅") else [w]
+
+    def embed(subs):
+        return np.stack([base._word_vec(s) for s in subs])
+
+    enc = SubwordEncoder(tokenize, embed, dim=16)
+    out = enc.encode_padded([["a", "∅mid", "b", "∅last"]], max_len=4)
+    np.testing.assert_array_equal(out[0, 0], base._word_vec("a"))
+    np.testing.assert_array_equal(out[0, 1], base._word_vec("b"))  # successor
+    np.testing.assert_array_equal(out[0, 2], base._word_vec("b"))
+    np.testing.assert_array_equal(out[0, 3], base._word_vec("b"))  # clamped
 
 
 def test_kernel_accepts_subword_encoder():

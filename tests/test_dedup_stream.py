@@ -26,7 +26,7 @@ def test_streaming_dedup_across_restarts(spark, tmp_path):  # noqa: F811
     run_dedup_stream(spark, inp, ckpt, out, SCHEMA)
     first = {r["text"]: r["doc_id"]
              for r in spark.read.parquet(out).collect()}
-    assert first == {"alpha": "1", "beta": "2"}  # min doc_id wins in-batch
+    assert first == {"alpha": 1, "beta": 2}  # min doc_id wins in-batch
 
     # restart with new files: old duplicates suppressed by checkpointed
     # state, genuinely-new content admitted
@@ -35,6 +35,19 @@ def test_streaming_dedup_across_restarts(spark, tmp_path):  # noqa: F811
     rows = spark.read.parquet(out).collect()
     got = {r["text"]: r["doc_id"] for r in rows}
     assert len(rows) == 3
-    assert got == {"alpha": "1", "beta": "2", "gamma": "5"}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 5}
 
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_streaming_keep_rule_matches_batch_numeric_min(spark, tmp_path):  # noqa: F811
+    """Keys keep their native type: numeric ids 10 vs 2 must pick 2
+    (the batch min(doc_id) rule), not lexicographic '10' < '2'."""
+    inp, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    _write_batch(spark, inp, [(10, "same"), (2, "same"), (9, "same")])
+    run_dedup_stream(spark, inp, ckpt, out, SCHEMA)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 2
+    assert spark.read.parquet(out).schema["doc_id"].dataType == T.LongType()
     shutil.rmtree(str(tmp_path), ignore_errors=True)

@@ -292,6 +292,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _table(s, d, "embeddings"))
     q["ann_ivf_topk"] = lambda s, d: similarity.ann_topk_ivf(
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
+    # trained IVF: in-engine integer-quantized k-means (deterministic,
+    # oracle-mirrored) + multi-cell probing — the production index the
+    # seeded variant stands in for
+    q["ann_lsh_topk_multi"] = lambda s, d: similarity.ann_topk_lsh_multi(
+        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5,
+        n_tables=4, planes=6)
+    q["ann_ivf_cells_trained"] = lambda s, d: similarity.ivf_cells_trained(
+        _table(s, d, "embeddings"))
+    q["ann_ivf_topk_trained"] = lambda s, d: similarity.ann_topk_ivf_trained(
+        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5, n_probe=2)
+
+    def ann_recall(s, d):
+        # retrieval QUALITY of every approximate variant vs the exact
+        # top-k ground truth — the recall@k gate VERDICT r2 asked for
+        emb = _table(s, d, "embeddings")
+        qids = list(range(10))
+        exact = similarity.cosine_topk(emb, qids, k=5)
+        variants = [
+            ("lsh_p4", similarity.ann_topk_lsh(emb, qids, k=5)),
+            ("lsh_p6", similarity.ann_topk_lsh(emb, qids, k=5, planes=6)),
+            ("ivf_seeded", similarity.ann_topk_ivf(emb, qids, k=5)),
+            ("lsh_multi", similarity.ann_topk_lsh_multi(
+                emb, qids, k=5, n_tables=4, planes=6)),
+            ("ivf_trained", similarity.ann_topk_ivf_trained(
+                emb, qids, k=5, n_probe=2)),
+        ]
+        out = None
+        for m, df in variants:
+            row = similarity.recall_vs_exact(exact, df, m)
+            out = row if out is None else out.unionAll(row)
+        return out
+    q["ann_recall"] = ann_recall
     # embedding-cosine near-dup (dedup family member): LSH-bucketed
     # candidates, exact-cosine threshold (300 fits the synthetic
     # embeddings' similarity range; production uses ~950)
@@ -485,9 +517,10 @@ WHERE l.key < r.key
 """
 
 
-def _lsh_bucket_expr(vec_col: str = "embedding", planes: int | None = None) -> str:
+def _lsh_bucket_expr(vec_col: str = "embedding", planes: int | None = None,
+                     seed: int = 7) -> str:
     from phonlp_spark.ops.similarity import LSH_PLANES, seeded_hyperplanes
-    hp = seeded_hyperplanes(planes=planes or LSH_PLANES)
+    hp = seeded_hyperplanes(seed=seed, planes=planes or LSH_PLANES)
     terms = []
     for p in range(hp.shape[0]):
         arr = "[" + ", ".join(repr(float(x)) for x in hp[p]) + "]"
@@ -508,6 +541,171 @@ def _ivf_cell_expr(vec_col: str = "embedding") -> str:
             f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {arr}) - {float(np.dot(c, c) / 2.0)!r}")
     scores = "[" + ", ".join(terms) + "]"
     return (f"(list_position({scores}, list_max({scores})) - 1)")
+
+
+_COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))")
+
+
+def _q_score(v: str, c: str) -> str:
+    """2*v.c - |c|^2 on the x1000 integer grid — exact in doubles, so
+    DuckDB's double equals Spark's long (similarity._score_q)."""
+    return (f"2*list_dot_product(CAST({v} AS DOUBLE[]), CAST({c} AS DOUBLE[]))"
+            f" - list_dot_product(CAST({c} AS DOUBLE[]), CAST({c} AS DOUBLE[]))")
+
+
+def _kmeans_ctes(p: str = "km", n_cells: int = 8, iters: int = 3,
+                 sample_mod: int = 2, seed: int = 11) -> tuple[list[str], str]:
+    """DuckDB CTE chain mirroring similarity.kmeans_centroids_q: unrolled
+    Lloyd's rounds on quantized vectors, floor(sum/count) means, empty
+    cells keeping their previous centroid.  Returns (ctes, final_name)."""
+    from phonlp_spark.ops.similarity import seeded_centroids
+    init = [(c, [int(round(x * 1000)) for x in cent])
+            for c, cent in enumerate(seeded_centroids(seed, n_cells))]
+    vals = ", ".join(f"({c}, {lst}::BIGINT[])" for c, lst in init)
+    ctes = [
+        f"{p}_vq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(round(x*1000) AS BIGINT)) AS vq FROM embeddings)",
+        f"{p}_samp AS (SELECT vec_id, vq FROM {p}_vq WHERE vec_id % {sample_mod} = 0)",
+        f"{p}_c0 AS (SELECT * FROM (VALUES {vals}) AS t(cell, cq))",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"{p}_c{it - 1}"
+        ctes += [
+            f"{p}_s{it} AS (SELECT s.vec_id, s.vq, c.cell,"
+            f" {_q_score('s.vq', 'c.cq')} AS score FROM {p}_samp s CROSS JOIN {prev} c)",
+            f"{p}_a{it} AS (SELECT vec_id, vq, cell FROM (SELECT *, row_number()"
+            f" OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn"
+            f" FROM {p}_s{it}) WHERE rn = 1)",
+            f"{p}_u{it} AS (SELECT cell, i, CAST(floor(sum(v) / count(*)) AS BIGINT) AS cv"
+            f" FROM (SELECT cell, unnest(vq) AS v, unnest(range(1, len(vq)+1)) AS i"
+            f" FROM {p}_a{it}) GROUP BY cell, i)",
+            f"{p}_n{it} AS (SELECT cell, list(cv ORDER BY i) AS cq FROM {p}_u{it} GROUP BY cell)",
+            f"{p}_c{it} AS (SELECT c.cell, coalesce(n.cq, c.cq) AS cq"
+            f" FROM {prev} c LEFT JOIN {p}_n{it} n USING (cell))",
+        ]
+    return ctes, f"{p}_c{iters}"
+
+
+def _ivf_trained_ctes(p: str = "km", n_probe: int = 2, k: int = 5,
+                      nq: int = 10) -> tuple[list[str], str]:
+    """CTEs through trained-centroid corpus assignment, query probing
+    (n_probe nearest cells) and exact cosine rescoring; final CTE is
+    the ranked top-k table {p}_top (already filtered to rank <= k)."""
+    ctes, cfin = _kmeans_ctes(p)
+    cos = _COS.format(a="q.embedding", b="n.embedding")
+    ctes += [
+        f"{p}_cs AS (SELECT e.vec_id, c.cell, {_q_score('e.vq', 'c.cq')} AS score"
+        f" FROM {p}_vq e CROSS JOIN {cfin} c)",
+        f"{p}_cells AS (SELECT vec_id, cell FROM (SELECT *, row_number()"
+        f" OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM {p}_cs)"
+        f" WHERE rn = 1)",
+        f"{p}_probes AS (SELECT vec_id AS query_id, cell FROM (SELECT *, row_number()"
+        f" OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM {p}_cs"
+        f" WHERE vec_id < {nq}) WHERE rn <= {n_probe})",
+        f"{p}_cand AS (SELECT pr.query_id, ct.vec_id AS neighbor_id"
+        f" FROM {p}_probes pr JOIN {p}_cells ct USING (cell)"
+        f" WHERE ct.vec_id <> pr.query_id)",
+        f"{p}_scored AS (SELECT c.query_id, c.neighbor_id, {cos} AS cos"
+        f" FROM {p}_cand c JOIN embeddings q ON q.vec_id = c.query_id"
+        f" JOIN embeddings n ON n.vec_id = c.neighbor_id)",
+        f"{p}_top AS (SELECT query_id, neighbor_id, CAST(row_number()"
+        f" OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank"
+        f" FROM {p}_scored QUALIFY rank <= {k})",
+    ]
+    return ctes, f"{p}_top"
+
+
+def _ann_variant_ctes(p: str, group_expr: str, group_name: str,
+                      k: int = 5, nq: int = 10) -> tuple[list[str], str]:
+    """Bucketed-ANN CTE chain ({group_expr} = LSH bucket or IVF cell
+    expression) ending in the rank<=k table {p}_top."""
+    cos = _COS.format(a="q.qvec", b="e.embedding")
+    ctes = [
+        f"{p}_b AS (SELECT vec_id, CAST({group_expr} AS INT) AS {group_name},"
+        f" embedding FROM embeddings)",
+        f"{p}_q AS (SELECT vec_id AS query_id, embedding AS qvec, {group_name}"
+        f" FROM {p}_b WHERE vec_id < {nq})",
+        f"{p}_scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos"
+        f" FROM {p}_b e JOIN {p}_q q ON e.{group_name} = q.{group_name}"
+        f" AND e.vec_id <> q.query_id)",
+        f"{p}_top AS (SELECT query_id, neighbor_id, CAST(row_number()"
+        f" OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank"
+        f" FROM {p}_scored QUALIFY rank <= {k})",
+    ]
+    return ctes, f"{p}_top"
+
+
+def _lsh_multi_ctes(p: str = "lm", n_tables: int = 4, planes: int = 6,
+                    seed: int = 7, k: int = 5,
+                    nq: int = 10) -> tuple[list[str], str]:
+    """Multi-table LSH CTEs: union of per-table bucket assignments,
+    OR-amplified candidates deduped before exact rescoring; ends in the
+    rank<=k table {p}_top (mirrors similarity.ann_topk_lsh_multi)."""
+    from phonlp_spark.ops.similarity import seeded_hyperplanes  # noqa: F401
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id,"
+        f" CAST({_lsh_bucket_expr(planes=planes, seed=seed + t)} AS INT) AS bucket"
+        f" FROM embeddings"
+        for t in range(n_tables))
+    cos = _COS.format(a="q.embedding", b="n.embedding")
+    ctes = [
+        f"{p}_mb AS ({arms})",
+        f"{p}_qb AS (SELECT vec_id AS query_id, table_id, bucket FROM {p}_mb"
+        f" WHERE vec_id < {nq})",
+        f"{p}_cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id"
+        f" FROM {p}_mb e JOIN {p}_qb q ON e.table_id = q.table_id"
+        f" AND e.bucket = q.bucket AND e.vec_id <> q.query_id)",
+        f"{p}_scored AS (SELECT c.query_id, c.neighbor_id, {cos} AS cos"
+        f" FROM {p}_cand c JOIN embeddings q ON q.vec_id = c.query_id"
+        f" JOIN embeddings n ON n.vec_id = c.neighbor_id)",
+        f"{p}_top AS (SELECT query_id, neighbor_id, CAST(row_number()"
+        f" OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank"
+        f" FROM {p}_scored QUALIFY rank <= {k})",
+    ]
+    return ctes, f"{p}_top"
+
+
+def _ann_recall_sql(k: int = 5, nq: int = 10) -> str:
+    """recall@k of every approximate ANN variant against the exact
+    cosine top-k, as one hash-stable summary table."""
+    cos = _COS.format(a="q.qvec", b="e.embedding")
+    ctes = [
+        f"x_q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings"
+        f" WHERE vec_id < {nq})",
+        f"x_scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos"
+        f" FROM embeddings e, x_q q WHERE e.vec_id <> q.query_id)",
+        f"x_top AS (SELECT query_id, neighbor_id, CAST(row_number()"
+        f" OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank"
+        f" FROM x_scored QUALIFY rank <= {k})",
+    ]
+    variants = []
+    for p, mname, expr, gname in (
+            ("l4", "lsh_p4", _lsh_bucket_expr(), "bucket"),
+            ("l6", "lsh_p6", _lsh_bucket_expr(planes=6), "bucket"),
+            ("iv", "ivf_seeded", _ivf_cell_expr(), "cell")):
+        c, top = _ann_variant_ctes(p, expr, gname, k, nq)
+        ctes += c
+        variants.append((mname, top))
+    mctes, mtop = _lsh_multi_ctes("lm", n_tables=4, planes=6, k=k, nq=nq)
+    ctes += mctes
+    variants.append(("lsh_multi", mtop))
+    tctes, ttop = _ivf_trained_ctes("km", n_probe=2, k=k, nq=nq)
+    ctes += tctes
+    variants.append(("ivf_trained", ttop))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, (SELECT count(*) FROM x_top e"
+        f" JOIN {top} a ON e.query_id = a.query_id"
+        f" AND e.neighbor_id = a.neighbor_id) AS hits"
+        for m, top in variants)
+    return ("WITH " + ",\n".join(ctes) + ",\n"
+            "tot AS (SELECT count(*) AS total FROM x_top),\n"
+            "m AS (" + arms + ")\n"
+            "SELECT method, CAST(hits AS BIGINT) AS hits,"
+            " CAST(total AS BIGINT) AS total,"
+            " CAST(hits * 1000 // total AS INT) AS recall_permille"
+            " FROM m, tot")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -696,6 +894,29 @@ r AS (SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
       FROM scored)
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
+
+    _lm_ctes, _lm_top = _lsh_multi_ctes("lm", n_tables=4, planes=6)
+    o["ann_lsh_topk_multi"] = (
+        "WITH " + ",\n".join(_lm_ctes)
+        + f"\nSELECT query_id, neighbor_id, rank FROM {_lm_top}")
+
+    _km_ctes, _km_fin = _kmeans_ctes()
+    o["ann_ivf_cells_trained"] = (
+        "WITH " + ",\n".join(_km_ctes)
+        + f""",
+cs AS (SELECT e.vec_id, c.cell, {_q_score('e.vq', 'c.cq')} AS score
+       FROM km_vq e CROSS JOIN {_km_fin} c)
+SELECT vec_id, CAST(cell AS INT) AS cell
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+      FROM cs)
+WHERE rn = 1""")
+
+    _tr_ctes, _tr_top = _ivf_trained_ctes("km", n_probe=2, k=5, nq=10)
+    o["ann_ivf_topk_trained"] = (
+        "WITH " + ",\n".join(_tr_ctes)
+        + f"\nSELECT query_id, neighbor_id, rank FROM {_tr_top}")
+
+    o["ann_recall"] = _ann_recall_sql()
 
     o["dedup_embedding"] = f"""
 WITH b AS (SELECT vec_id, CAST({_lsh_bucket_expr()} AS INT) AS bucket, embedding FROM embeddings),

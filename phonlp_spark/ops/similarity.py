@@ -115,6 +115,57 @@ def ann_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def lsh_buckets_multi(embeddings: DataFrame, n_tables: int = 4,
+                      planes: int = LSH_PLANES, seed: int = 7,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, table_id, bucket): L independent hash tables.
+
+    One table's recall is bounded by its single bucket (measurably bad:
+    the ann_recall gate shows 2-12% here); OR-amplification across L
+    tables is the standard fix — a neighbor is a candidate if it
+    collides in ANY table.  Table t uses hyperplanes seeded seed+t.
+    Still a pure per-row projection (union of L codegen exprs, no
+    shuffle); candidate generation joins on (table_id, bucket)."""
+    out = None
+    for t in range(n_tables):
+        b = lsh_buckets(embeddings, seed + t, id_col, vec_col, planes) \
+            .select("vec_id", F.lit(t).alias("table_id"), "bucket")
+        out = b if out is None else out.unionAll(b)
+    return out
+
+
+def ann_topk_lsh_multi(embeddings: DataFrame, query_ids: list[int],
+                       k: int = 5, n_tables: int = 4,
+                       planes: int = LSH_PLANES, seed: int = 7,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k over the union of L hash tables' candidates
+    (deduped before rescoring, so a pair colliding in several tables is
+    scored once)."""
+    mb = lsh_buckets_multi(embeddings, n_tables, planes, seed,
+                           id_col, vec_col)
+    qb = mb.filter(F.col("vec_id").isin(query_ids)) \
+        .select(F.col("vec_id").alias("query_id"), "table_id", "bucket")
+    cand = (mb.join(F.broadcast(qb), ["table_id", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    e_q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    e_n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cvec"))
+    scored = (cand.join(F.broadcast(e_q), "query_id")
+              .join(e_n, "neighbor_id")
+              .withColumn("cos", dot(F.col("qvec"), F.col("cvec"))
+                          / (norm(F.col("qvec")) * norm(F.col("cvec")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def embedding_near_dups(embeddings: DataFrame, min_cos_x1000: int = 950,
                         seed: int = 7, id_col: str = "vec_id",
                         vec_col: str = "embedding",
@@ -169,6 +220,166 @@ def ivf_cells(embeddings: DataFrame, seed: int = 11, n_cells: int = 8,
     ])
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return embeddings.select(F.col(id_col).alias("vec_id"), cell.alias("cell"))
+
+
+def quantized_vecs(embeddings: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, vq): embeddings on the x1000 integer grid.
+
+    All k-means arithmetic below runs on these exact integers: sums and
+    dot products are order-independent (no float-summation drift), so
+    the fit is bit-identical across partitionings AND across engines —
+    that's what lets a trained index be a hash-checked CORRECTNESS row.
+    """
+    vq = F.transform(F.col(vec_col),
+                     lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    return embeddings.select(F.col(id_col).alias("vec_id"), vq.alias("vq"))
+
+
+def _score_q(vq, cq) -> Column:
+    """2*v.c - |c|^2 on the integer grid (argmax == argmin ||v-c||^2).
+    Values stay well under 2^53, so the double the oracle computes is
+    the same exact integer as this long."""
+    dot2 = F.aggregate(F.zip_with(vq, cq, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda a, v: a + v)
+    nrm = F.aggregate(F.transform(cq, lambda x: x * x),
+                      F.lit(0).cast("long"), lambda a, v: a + v)
+    return F.lit(2).cast("long") * dot2 - nrm
+
+
+def assign_cells_q(vq_df: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, vq, cell): nearest-centroid assignment of quantized
+    vectors against a (cell, cq) centroid table.  Centroids are tiny by
+    construction (n_cells rows) -> broadcast nested-loop; ties go to
+    the smallest cell id, the same first-min rule as the literal-expr
+    seeded variant."""
+    scored = vq_df.crossJoin(F.broadcast(cents)) \
+        .withColumn("_score", _score_q(F.col("vq"), F.col("cq")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_score").desc(), F.col("cell").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "vq", "cell"))
+
+
+def kmeans_centroids_q(embeddings: DataFrame, n_cells: int = 8,
+                       iters: int = 3, sample_mod: int = 2, seed: int = 11,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(cell, cq): Lloyd's k-means on the x1000 integer grid, fully
+    in-engine and deterministic.
+
+    - sample = rows with vec_id % sample_mod == 0 (a fixed fraction; at
+      100 TB the fit never touches the full corpus);
+    - init = the seeded centroids quantized to the same grid (plan
+      literals, engine-independent);
+    - each of the `iters` unrolled rounds: broadcast-join assignment
+      (argmin on exact integers), then per-dimension integer sums with
+      floor(sum/count) means — floor() is the one division both Spark
+      and ANSI engines round identically;
+    - cells that lose all members keep their previous centroid, so the
+      output always has exactly n_cells rows.
+
+    Scale shape: the sample shuffles once per round on (cell, dim) —
+    n_cells*dim tiny groups; centroids stay broadcast-sized throughout.
+    Production tunes sample_mod so the sample fits one stage.
+    """
+    spark = embeddings.sparkSession
+    samp = quantized_vecs(embeddings, id_col, vec_col) \
+        .filter(F.col("vec_id") % sample_mod == 0)
+    dim = EMB_DIM
+    init = [(c, [int(round(x * 1000)) for x in cent])
+            for c, cent in enumerate(seeded_centroids(seed, n_cells, dim))]
+    cents = spark.createDataFrame(init, "cell int, cq array<bigint>")
+    for _ in range(iters):
+        assigned = assign_cells_q(samp, cents)
+        upd = (assigned
+               .select("cell", F.posexplode("vq").alias("i", "v"))
+               .groupBy("cell", "i")
+               .agg(F.floor(F.sum("v").cast("double") / F.count("*"))
+                    .cast("long").alias("cv")))
+        newc = (upd.groupBy("cell")
+                .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                                 lambda s: s.cv).alias("cq_new")))
+        cents = (cents.join(newc, "cell", "left")
+                 .select("cell", F.coalesce("cq_new", "cq").alias("cq")))
+    return cents
+
+
+def ivf_cells_trained(embeddings: DataFrame, n_cells: int = 8,
+                      iters: int = 3, sample_mod: int = 2, seed: int = 11,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell) under k-means-trained centroids (the production
+    swap COVERAGE.md promises for the seeded ivf_cells)."""
+    cents = kmeans_centroids_q(embeddings, n_cells, iters, sample_mod,
+                               seed, id_col, vec_col)
+    return assign_cells_q(quantized_vecs(embeddings, id_col, vec_col),
+                          cents).select("vec_id", "cell")
+
+
+def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
+                         k: int = 5, n_probe: int = 2, n_cells: int = 8,
+                         iters: int = 3, sample_mod: int = 2, seed: int = 11,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k with trained centroids and multi-cell probing.
+
+    Each query probes its n_probe nearest cells (by the same integer
+    score), then exact cosine rescoring runs only over those inverted
+    lists — |corpus| * n_probe / n_cells candidates instead of the
+    cross product.  A corpus vector lives in exactly one cell, so
+    probing never duplicates candidates.
+    """
+    cents = kmeans_centroids_q(embeddings, n_cells, iters, sample_mod,
+                               seed, id_col, vec_col)
+    vq = quantized_vecs(embeddings, id_col, vec_col)
+    cells = assign_cells_q(vq, cents).select("vec_id", "cell")
+
+    qscored = (vq.filter(F.col("vec_id").isin(query_ids))
+               .crossJoin(F.broadcast(cents))
+               .withColumn("_score", _score_q(F.col("vq"), F.col("cq"))))
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("_score").desc(), F.col("cell").asc())
+    probes = (qscored.withColumn("_rn", F.row_number().over(wq))
+              .filter(F.col("_rn") <= n_probe)
+              .select(F.col("vec_id").alias("query_id"), "cell"))
+
+    cand = (cells.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    e_q = embeddings.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qvec"))
+    e_n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cvec"))
+    scored = (cand.join(F.broadcast(e_q.filter(F.col("query_id").isin(query_ids))),
+                        "query_id")
+              .join(e_n, "neighbor_id")
+              .withColumn("cos", dot(F.col("qvec"), F.col("cvec"))
+                          / (norm(F.col("qvec")) * norm(F.col("cvec")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame,
+                    method: str) -> DataFrame:
+    """One summary row: how much of the exact top-k the approximate
+    method retrieved.  (method, hits, total, recall_permille) — integer
+    permille so the row hashes identically across engines."""
+    pairs = exact.select("query_id", "neighbor_id")
+    hits = pairs.join(approx.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_semi") \
+        .agg(F.count(F.lit(1)).alias("hits"))
+    total = pairs.agg(F.count(F.lit(1)).alias("total"))
+    return (hits.crossJoin(total)
+            .select(F.lit(method).alias("method"),
+                    F.col("hits").cast("bigint").alias("hits"),
+                    F.col("total").cast("bigint").alias("total"),
+                    F.expr("CAST(hits * 1000 DIV total AS INT)")
+                    .alias("recall_permille")))
 
 
 def ann_topk_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 5,

@@ -208,3 +208,67 @@ def test_ivf_cells_and_topk(spark):  # noqa: F811
         assert r["neighbor_id"] != r["query_id"]
     for q_ranks in by_q.values():
         assert sorted(q_ranks) == list(range(1, len(q_ranks) + 1))
+
+
+def _clustered_emb(spark, n=120, dim=64, n_clusters=6, seed=9):
+    """Embeddings with real cluster structure (what ANN indexes exploit)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 3
+    rows = [(i, [float(x) for x in centers[i % n_clusters]
+                 + rng.normal(size=dim) * 0.4]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_centroids_deterministic_across_partitioning(spark):  # noqa: F811
+    """The integer-grid fit is partitioning-invariant: exact integer
+    sums and floor-division means leave no float-order freedom."""
+    emb = _clustered_emb(spark)
+    a = {r["cell"]: r["cq"] for r in
+         similarity.kmeans_centroids_q(emb, n_cells=4).collect()}
+    b = {r["cell"]: r["cq"] for r in
+         similarity.kmeans_centroids_q(emb.repartition(13), n_cells=4).collect()}
+    assert a == b
+    assert len(a) == 4  # empty cells keep their previous centroid
+
+
+def test_trained_ivf_beats_seeded_recall(spark):  # noqa: F811
+    """The point of training: recall@k under k-means centroids with
+    n_probe=2 must beat the seeded random partitioner at n_probe=1."""
+    emb = _clustered_emb(spark)
+    qids = list(range(8))
+    exact = similarity.cosine_topk(emb, qids, k=5)
+    seeded = similarity.recall_vs_exact(
+        exact, similarity.ann_topk_ivf(emb, qids, k=5, n_cells=4), "s").collect()[0]
+    trained = similarity.recall_vs_exact(
+        exact, similarity.ann_topk_ivf_trained(
+            emb, qids, k=5, n_probe=2, n_cells=4, sample_mod=2), "t").collect()[0]
+    assert trained["recall_permille"] >= seeded["recall_permille"]
+    assert trained["recall_permille"] >= 800  # clustered data: near-exact
+    assert trained["total"] == len(qids) * 5
+
+
+def test_lsh_multi_table_amplifies_recall(spark):  # noqa: F811
+    """OR-amplification: L tables' candidate union must retrieve at
+    least as much of the exact top-k as any single table."""
+    emb = _clustered_emb(spark)
+    qids = list(range(8))
+    exact = similarity.cosine_topk(emb, qids, k=5)
+    single = similarity.recall_vs_exact(
+        exact, similarity.ann_topk_lsh(emb, qids, k=5, planes=6), "1").collect()[0]
+    multi = similarity.recall_vs_exact(
+        exact, similarity.ann_topk_lsh_multi(
+            emb, qids, k=5, n_tables=4, planes=6), "m").collect()[0]
+    assert multi["recall_permille"] >= single["recall_permille"]
+    assert multi["hits"] >= single["hits"]
+
+
+def test_recall_vs_exact_counts(spark):  # noqa: F811
+    exact = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 3, 1), (1, 4, 2)],
+        "query_id long, neighbor_id long, rank int")
+    approx = spark.createDataFrame(
+        [(0, 1, 1), (0, 9, 2), (1, 3, 1), (1, 4, 2)],
+        "query_id long, neighbor_id long, rank int")
+    row = similarity.recall_vs_exact(exact, approx, "m").collect()[0]
+    assert (row["method"], row["hits"], row["total"],
+            row["recall_permille"]) == ("m", 3, 4, 750)

@@ -205,9 +205,14 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
     agg = j.agg(F.count(F.lit(1)).alias("n_aligned"),
                 F.sum(ua.cast("long")).alias("n_ua"),
                 F.sum(la.cast("long")).alias("n_la"))
-    return agg.select(
+    out = agg.select(
         "n_aligned",
         F.expr("CAST((n_ua * 1000) DIV greatest(n_aligned, 1) AS INT)")
         .alias("uas_permille"),
         F.expr("CAST((n_la * 1000) DIV greatest(n_aligned, 1) AS INT)")
         .alias("las_permille"))
+    # the result is one row: materialize it so the cogrouped alignment
+    # cache can be released instead of leaking past the call
+    row = out.collect()[0]
+    aligned.unpersist()
+    return gold.sparkSession.createDataFrame([row], out.schema)

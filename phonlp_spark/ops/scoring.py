@@ -46,11 +46,17 @@ def pos_accuracy(pred: DataFrame, gold: DataFrame, col: str = "upos") -> DataFra
 def entity_prf(pred_entities: DataFrame, gold_entities: DataFrame) -> DataFrame:
     """Micro P/R/F1 over exact (span, type) matches — one output row
     with integer counts + permille metrics."""
-    p = pred_entities.select(*ENTITY_KEY).distinct()
-    g = gold_entities.select(*ENTITY_KEY).distinct()
-    correct = p.join(g, ENTITY_KEY, "left_semi").count()
-    guessed = p.count()
-    gold_n = g.count()
+    p = pred_entities.select(*ENTITY_KEY).distinct().withColumn("_p", F.lit(1))
+    g = gold_entities.select(*ENTITY_KEY).distinct().withColumn("_g", F.lit(1))
+    # one full-outer pass gives guessed/gold/correct in a single job
+    # (three separate count() actions scanned both inputs three times)
+    row = (p.join(g, ENTITY_KEY, "full_outer")
+           .agg(F.sum("_p").alias("guessed"), F.sum("_g").alias("gold"),
+                F.sum(F.col("_p") * F.col("_g")).alias("correct"))
+           .collect()[0])
+    guessed = int(row["guessed"] or 0)
+    gold_n = int(row["gold"] or 0)
+    correct = int(row["correct"] or 0)
     prec = correct * 1000 // guessed if guessed else 0
     rec = correct * 1000 // gold_n if gold_n else 0
     f1 = (2 * prec * rec) // (prec + rec) if (prec + rec) else 0

@@ -25,6 +25,16 @@ from pyspark.sql import types as T
 
 SIM_DIM = 2048       # hashed char-3gram space
 SIM_THRESHOLD = 0.60
+# The alias inventory is "small by contract": it is collect()ed to the
+# driver and its [A, SIM_DIM] float32 n-gram matrix is broadcast to
+# every executor (~8 KB/alias).  The contract is ENFORCED, not assumed:
+# link_surfaces counts the inventory first and fails fast past this cap
+# (override via PHONLP_SPARK_MAX_ALIASES for bigger driver/executor
+# memory).  1M aliases ≈ 8 GB broadcast — already past sane; at that
+# size move stage 2 to an LSH/ANN join (ops/similarity.py) instead.
+import os as _os
+
+MAX_ALIASES = int(_os.environ.get("PHONLP_SPARK_MAX_ALIASES", "1000000"))
 
 ALIAS_SCHEMA = T.StructType([
     T.StructField("alias", T.StringType()),
@@ -109,7 +119,16 @@ def link_surfaces(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
     exact = surfaces.join(F.broadcast(alias_norm), "nsurf", "left")
     misses = exact.filter(F.col("entity_id").isNull()).select("nsurf")
 
-    alias_rows = alias_norm.collect()  # alias inventory is small by contract
+    n_alias = alias_norm.count()
+    if n_alias > MAX_ALIASES:
+        raise ValueError(
+            f"alias inventory has {n_alias} distinct surfaces, over the "
+            f"{MAX_ALIASES} cap for the collect+broadcast linking path "
+            f"(~{n_alias * SIM_DIM * 4 / 2**30:.1f} GiB n-gram matrix on the "
+            "driver and every executor). Raise PHONLP_SPARK_MAX_ALIASES only "
+            "with memory to match, or switch stage 2 to the LSH/ANN join in "
+            "phonlp_spark/ops/similarity.py.")
+    alias_rows = alias_norm.collect()  # small by contract — enforced above
     alias_surfs = [r["nsurf"] for r in alias_rows]
     alias_ids = [r["entity_id"] for r in alias_rows]
     if alias_surfs:

@@ -1,5 +1,6 @@
 """Entity linking: exact broadcast hits, similarity fallback, minted ids."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from phonlp_spark.pipeline.linking import (
@@ -59,3 +60,15 @@ def test_no_per_row_python_in_exact_path(spark):  # noqa: F811
     m = _mentions(spark, ["Hà_Nội"])
     plan = link_mentions(m, alias)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_alias_inventory_cap_fails_fast(spark, monkeypatch):  # noqa: F811
+    """An oversized alias dictionary must die with the guard message
+    BEFORE the driver collect/broadcast, not OOM mid-job."""
+    import phonlp_spark.pipeline.linking as L
+    monkeypatch.setattr(L, "MAX_ALIASES", 3)
+    alias = L.build_alias_dict(
+        spark, [f"Entity_{i}_Long_Name" for i in range(10)])
+    surfaces = spark.createDataFrame([("whatever",)], "nsurf string")
+    with pytest.raises(ValueError, match="alias inventory has .* over the 3 cap"):
+        L.link_surfaces(surfaces, alias).collect()

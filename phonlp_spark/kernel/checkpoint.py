@@ -229,6 +229,42 @@ def first_subword_indices(subword_counts: list[int],
     return indices
 
 
+def demo_subword_encoder(dim: int = 64):
+    """Deterministic multi-subword SubwordEncoder — the sandbox
+    stand-in for PhoBERT's tokenizer+transformer pair (reference
+    annotate_model.py:382-424): every word of >=2 chars splits into two
+    subwords (head + '##'-prefixed tail), each subword embeds via the
+    hashed n-gram encoder, and the per-word vector is the FIRST
+    subword's embedding.  Exercises the real gather convention through
+    any consumer (incl. the Spark mapInPandas stage) with no torch."""
+    from phonlp_spark.kernel.encoder import HashedNgramEncoder
+
+    base = HashedNgramEncoder(dim=dim)
+
+    def tokenize(w: str) -> list[str]:
+        if len(w) < 2:
+            return [w]
+        mid = len(w) // 2
+        return [w[:mid], "##" + w[mid:]]
+
+    def embed(subs: list[str]) -> np.ndarray:
+        return np.stack([base._word_vec(s) for s in subs])
+
+    return SubwordEncoder(tokenize, embed, dim=dim)
+
+
+def subword_demo_kernel():
+    """Zero-arg kernel factory for annotate_sentences_df's
+    kernel_factory hook: the standard kernel encoding through
+    demo_subword_encoder.  Importable module path, so Spark workers can
+    unpickle it."""
+    from phonlp_spark.kernel.annotate import AnnotationKernel
+
+    k = AnnotationKernel()
+    k.encoder = demo_subword_encoder(dim=64)
+    return k
+
+
 class SubwordEncoder:
     """Encoder-protocol adapter for subword tokenizers.
 

@@ -54,19 +54,25 @@ ANNOTATED_SCHEMA = T.StructType([
 _KEY_COLS = ("doc_id", "span_idx", "sent_id")
 
 
-def _make_annotate_fn(columns: tuple[str, ...]):
+def _make_annotate_fn(columns: tuple[str, ...], kernel_factory=None):
     """Batch fn emitting only the requested non-key columns.
 
     Column pruning cannot cross a mapInPandas boundary, so callers that
     only consume mentions/triples (the KG path) skip building and
     Arrow-serializing the five token-level arrays entirely.
+
+    ``kernel_factory``: zero-arg callable building the worker-side
+    kernel (cloudpickled into the task; called once per python worker).
+    Defaults to default_kernel() — the checkpoint-env production path.
+    A transformer-backed deployment passes a factory that wires a
+    SubwordEncoder (kernel/checkpoint.py) over its tokenizer+model.
     """
 
     def annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one kernel (weights + memoized encoder) per python worker
         from phonlp_spark.kernel.annotate import default_kernel
 
-        kernel = default_kernel()
+        kernel = (kernel_factory or default_kernel)()
         for pdf in batches:
             anns = kernel.annotate(list(pdf["tokens"]))
             data = {k: pdf[k].values for k in _KEY_COLS}
@@ -95,6 +101,7 @@ def annotate_sentences_df(
     sentences: DataFrame,
     salt_partitions: int | None = None,
     columns: tuple[str, ...] | None = None,
+    kernel_factory=None,
 ) -> DataFrame:
     """sentences (doc_id, span_idx, sent_id, tokens) -> annotated rows.
 
@@ -106,6 +113,10 @@ def annotate_sentences_df(
 
     ``columns``: subset of non-key output columns to materialize
     (default: all).  E.g. ("mentions", "triples") for the KG path.
+
+    ``kernel_factory``: per-worker kernel builder override (see
+    _make_annotate_fn) — the swap point for subword/transformer
+    encoders.
     """
     if salt_partitions:
         sentences = sentences.repartition(salt_partitions, F.xxhash64("doc_id", "span_idx"))
@@ -117,7 +128,8 @@ def annotate_sentences_df(
     schema = T.StructType(
         [f for f in ANNOTATED_SCHEMA.fields
          if f.name in _KEY_COLS or f.name in cols])
-    return sentences.mapInPandas(_make_annotate_fn(cols), schema=schema)
+    return sentences.mapInPandas(_make_annotate_fn(cols, kernel_factory),
+                                 schema=schema)
 
 
 def annotations_long(annotated: DataFrame) -> DataFrame:

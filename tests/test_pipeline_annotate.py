@@ -124,3 +124,43 @@ def test_long_views_consistent(annotated):
     n_men = annotated.selectExpr("sum(size(mentions)) v").collect()[0]["v"]
     assert men.count() == n_men
     assert ann.filter("token_id < 1 or head < 0").count() == 0
+
+
+from phonlp_spark.kernel.checkpoint import subword_demo_kernel as _subword_kernel
+
+
+def test_subword_encoder_through_spark_stage(spark, docs):  # noqa: F811
+    """VERDICT r2 gap #3: the subword-encode + first-subword-gather
+    convention must survive the REAL mapInPandas stage, not just unit
+    tests — exact parity with the single-process oracle using the same
+    encoder, every field, every key."""
+    annotated = annotate_sentences_df(
+        split_sentences(docs), salt_partitions=8,
+        kernel_factory=_subword_kernel)
+    got = {(r["doc_id"], r["span_idx"]): r for r in annotated.collect()}
+
+    oracle_kernel = _subword_kernel()
+    src = {}
+    for r in docs.collect():
+        for s in r["spans"]:
+            if s["kind"] == "text" and s["text"]:
+                src[(r["doc_id"], s["offset"])] = s["text"].split(" ")
+    assert set(got) == set(src)
+    keys = sorted(src)
+    oracle = oracle_kernel.annotate([src[k] for k in keys])
+    n_diff_vs_default = 0
+    default_oracle = AnnotationKernel().annotate([src[k] for k in keys])
+    for k, o, d in zip(keys, oracle, default_oracle):
+        g = got[k]
+        assert list(g["tokens"]) == o["tokens"]
+        assert list(g["upos"]) == o["upos"]
+        assert list(g["ner"]) == o["ner"]
+        assert list(g["head"]) == o["head"]
+        assert list(g["deprel"]) == o["deprel"]
+        assert [tuple(m) for m in g["mentions"]] == o["mentions"]
+        assert [tuple(t) for t in g["triples"]] == o["triples"]
+        if (o["upos"], o["head"]) != (d["upos"], d["head"]):
+            n_diff_vs_default += 1
+    # sanity: the subword path is genuinely different from the default
+    # encoder (otherwise this test would vacuously repeat the other one)
+    assert n_diff_vs_default > 0

@@ -177,6 +177,23 @@ def align_tokens(gold: DataFrame, system: DataFrame,
             .applyInPandas(align, schema=ALIGNED_SCHEMA))
 
 
+def _aligned_arcs(gold: DataFrame, system: DataFrame,
+                  aligned: DataFrame) -> DataFrame:
+    """Matched word pairs decorated with both sides' (head, deprel) and
+    the system-side counterpart of the gold head — the table every
+    aligned dependency metric scores over."""
+    g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
+                    F.col("head").alias("g_head"), F.col("deprel").alias("g_rel"))
+    s = system.select(*SENT_KEY, F.col("token_id").alias("system_token_id"),
+                      F.col("head").alias("s_head"), F.col("deprel").alias("s_rel"))
+    j = aligned.join(g, SENT_KEY + ["gold_token_id"]).join(
+        s, SENT_KEY + ["system_token_id"])
+    head_map = aligned.select(
+        *SENT_KEY, F.col("gold_token_id").alias("g_head"),
+        F.col("system_token_id").alias("s_head_aligned"))
+    return j.join(head_map, SENT_KEY + ["g_head"], "left")
+
+
 def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
     """UAS/LAS over LCS-aligned tokens (the conll18_ud_eval scoring
     shape for diverging tokenizations): heads compare as ALIGNED head
@@ -189,16 +206,7 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
     # map each side's head index to its aligned counterpart: an arc is
     # correct when the head of the gold word aligns to the head of the
     # system word (root, head 0, matches root)
-    g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
-                    F.col("head").alias("g_head"), F.col("deprel").alias("g_rel"))
-    s = system.select(*SENT_KEY, F.col("token_id").alias("system_token_id"),
-                      F.col("head").alias("s_head"), F.col("deprel").alias("s_rel"))
-    j = aligned.join(g, SENT_KEY + ["gold_token_id"]).join(
-        s, SENT_KEY + ["system_token_id"])
-    head_map = aligned.select(
-        *SENT_KEY, F.col("gold_token_id").alias("g_head"),
-        F.col("system_token_id").alias("s_head_aligned"))
-    j = j.join(head_map, SENT_KEY + ["g_head"], "left")
+    j = _aligned_arcs(gold, system, aligned)
     ua = (F.col("g_head") == 0) & (F.col("s_head") == 0) | (
         F.col("s_head_aligned") == F.col("s_head"))
     la = ua & (F.col("g_rel") == F.col("s_rel"))
@@ -213,6 +221,59 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
         .alias("las_permille"))
     # the result is one row: materialize it so the cogrouped alignment
     # cache can be released instead of leaking past the call
+    row = out.collect()[0]
+    aligned.unpersist()
+    return gold.sparkSession.createDataFrame([row], out.schema)
+
+
+# The UD content relations (reference conll18_ud_eval.py:105-135);
+# everything else (aux/cop/mark/det/clf/case/cc, punct, ...) is
+# excluded from CLAS.
+CONTENT_DEPRELS = frozenset({
+    "nsubj", "obj", "iobj", "csubj", "ccomp", "xcomp", "obl", "vocative",
+    "expl", "dislocated", "advcl", "advmod", "discourse", "nmod", "appos",
+    "nummod", "acl", "amod", "conj", "fixed", "flat", "compound", "list",
+    "parataxis", "orphan", "goeswith", "reparandum", "root", "dep",
+})
+
+
+def clas_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
+    """CLAS: LAS restricted to content relations, the filtered variant
+    the reference reports next to UAS/LAS (conll18_ud_eval.py:533-535
+    with alignment_score's filter_fn arithmetic at :382-408).
+
+    gold/system denominators count each side's own content-deprel
+    words; correct counts matched pairs whose GOLD word is content and
+    whose (aligned head, deprel) agree.  One row: (n_gold, n_system,
+    n_aligned, n_correct, precision_permille, recall_permille,
+    f1_permille), integer DIV only.
+    """
+    aligned = align_tokens(gold, system).cache()
+    j = _aligned_arcs(gold, system, aligned)
+    content = F.col("g_rel").isin(*sorted(CONTENT_DEPRELS))
+    ua = (F.col("g_head") == 0) & (F.col("s_head") == 0) | (
+        F.col("s_head_aligned") == F.col("s_head"))
+    la = ua & (F.col("g_rel") == F.col("s_rel"))
+    agg = j.agg(
+        F.sum(content.cast("long")).alias("n_aligned"),
+        F.sum((content & la).cast("long")).alias("n_correct"))
+    gold_n = gold.filter(F.col("deprel").isin(*sorted(CONTENT_DEPRELS))) \
+        .agg(F.count(F.lit(1)).alias("n_gold"))
+    sys_n = system.filter(F.col("deprel").isin(*sorted(CONTENT_DEPRELS))) \
+        .agg(F.count(F.lit(1)).alias("n_system"))
+    out = (gold_n.crossJoin(sys_n).crossJoin(agg)
+           .select(
+               "n_gold", "n_system",
+               F.coalesce("n_aligned", F.lit(0)).alias("n_aligned"),
+               F.coalesce("n_correct", F.lit(0)).alias("n_correct"))
+           .select(
+               "n_gold", "n_system", "n_aligned", "n_correct",
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_system, 1) AS INT)")
+               .alias("precision_permille"),
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_gold, 1) AS INT)")
+               .alias("recall_permille"),
+               F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
+                      " AS INT)").alias("f1_permille")))
     row = out.collect()[0]
     aligned.unpersist()
     return gold.sparkSession.createDataFrame([row], out.schema)

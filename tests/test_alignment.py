@@ -142,3 +142,72 @@ def test_uas_las_aligned_detects_head_errors(spark):  # noqa: F811
     assert got["n_aligned"] == 3
     assert got["uas_permille"] == 666
     assert got["las_permille"] == 666
+
+
+def _conllu_dep(sentences):
+    """sentences: list of list of (id_or_range, form, head, deprel)."""
+    out = []
+    for sent in sentences:
+        for tid, form, head, rel in sent:
+            mw = "-" in str(tid)
+            cols = [str(tid), form, "_", "X", "_", "_",
+                    "_" if mw else str(head), "_" if mw else rel, "_", "_"]
+            out.append("\t".join(cols))
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+# gold: du -> de(case, functional) + le(det, functional); content rels
+# elsewhere.  system A kept "du" unsplit with a content rel; B split it
+# but mislabeled a head.
+GOLD_DEP = [("1", "ab", 0, "root"), ("2", "c", 1, "nsubj"),
+            ("3-4", "du", 0, "_"), ("3", "de", 5, "case"),
+            ("4", "le", 5, "det"), ("5", "x", 1, "obj")]
+SYSA_DEP = [("1", "ab", 0, "root"), ("2", "c", 1, "nsubj"),
+            ("3", "du", 4, "nmod"), ("4", "x", 1, "obj")]
+SYSB_DEP = [("1", "ab", 0, "root"), ("2", "c", 1, "amod"),
+            ("3-4", "du", 0, "_"), ("3", "de", 5, "case"),
+            ("4", "le", 1, "det"), ("5", "x", 2, "obj")]
+
+
+def _dep_df(spark, sent, doc="d0"):  # noqa: F811
+    span_rows = _rows_from_conllu_sent([(t, f) for (t, f, _h, _r) in sent])
+    words = [(h, r) for (t, f, h, r) in sent if "-" not in str(t)]
+    rows = [(doc, 0, tid, w, s, e, mw, words[tid - 1][0], words[tid - 1][1])
+            for (tid, w, s, e, mw) in span_rows]
+    return spark.createDataFrame(
+        rows, "doc_id string, sent_id int, token_id int, word string, "
+              "span_start int, span_end int, is_multiword boolean, "
+              "head int, deprel string")
+
+
+@pytest.mark.parametrize("sys_sent", [SYSA_DEP, SYSB_DEP])
+def test_clas_matches_reference_module(spark, sys_sent):  # noqa: F811
+    """Content-deprel-filtered LAS must reproduce the reference CLAS
+    Score counts (conll18_ud_eval.py:533-535) on MWT fixtures."""
+    import io
+    from phonlp_spark.ops.alignment import clas_aligned
+
+    ud = _load_reference_udeval()
+    gold_ud = ud.load_conllu(io.StringIO(_conllu_dep([GOLD_DEP])))
+    sys_ud = ud.load_conllu(io.StringIO(_conllu_dep([sys_sent])))
+    want = ud.evaluate(gold_ud, sys_ud)["CLAS"]
+
+    got = clas_aligned(_dep_df(spark, GOLD_DEP),
+                       _dep_df(spark, sys_sent)).collect()[0]
+    assert got["n_gold"] == want.gold_total
+    assert got["n_system"] == want.system_total
+    assert got["n_aligned"] == want.aligned_total
+    assert got["n_correct"] == want.correct
+    assert got["precision_permille"] == int(want.precision * 1000)
+    assert got["recall_permille"] == int(want.recall * 1000)
+
+
+def test_clas_excludes_functional_words(spark):  # noqa: F811
+    """Identical trees: CLAS is perfect but counts only content words."""
+    from phonlp_spark.ops.alignment import clas_aligned
+
+    df = _dep_df(spark, GOLD_DEP)
+    got = clas_aligned(df, df).collect()[0]
+    assert got["n_gold"] == got["n_system"] == got["n_correct"] == 3
+    assert got["f1_permille"] == 1000

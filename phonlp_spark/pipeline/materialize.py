@@ -179,6 +179,7 @@ def run_kg(
     n_buckets: int = 32,
     salt_partitions: int | None = None,
     resume: bool = True,
+    dedup: bool = False,
 ) -> dict:
     """Full KG construction with per-bucket lineage; returns run stats.
 
@@ -187,10 +188,23 @@ def run_kg(
     appended only after the job's writes commit, so a crash anywhere
     leaves previously-done buckets intact and the interrupted buckets
     unrecorded -> recomputed and overwritten on the next run.
+
+    ``dedup``: exact-dedup the documents BEFORE the annotation kernel
+    (the standard production layout: duplicates never pay kernel cost).
+    Content key = digest of the full span sequence; the kept
+    representative is min(doc_id) per digest — the same keep-rule as
+    ops.dedup.exact_dedup — so output equals a run over the unique
+    documents.  One hash-agg shuffle on the digest; scale-safe.
     """
     t0 = time.time()
     run_id = uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if dedup:
+        d = documents.withColumn("_digest", F.md5(F.to_json("spans")))
+        keep = d.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
+        documents = d.join(keep, ["_digest", "doc_id"], "left_semi") \
+            .drop("_digest")
 
     docs = documents.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))

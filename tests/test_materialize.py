@@ -140,3 +140,32 @@ def test_graph_joins_survive_no_broadcast(spark, out_dir):  # noqa: F811
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         ann.unpersist()
+
+
+def test_dedup_pre_stage_skips_kernel_for_duplicates(spark, tmp_path):  # noqa: F811
+    """dedup=True composes exact dedup ahead of the annotation kernel:
+    duplicated input yields the SAME graph as the unique input, and the
+    duplicates never reach the kernel (annotation row counts match the
+    unique run, not the inflated one)."""
+    docs, alias = _inputs(spark, n=30)
+    # content duplicates under fresh ids; 'dup_...' sorts after the
+    # originals, so min(doc_id) keeps every original row
+    dupes = docs.withColumn("doc_id", F.concat(F.lit("dup_"), "doc_id"))
+    doubled = docs.unionByName(dupes)
+
+    d_uniq, d_dedup, d_raw = (str(tmp_path / x) for x in ("u", "d", "r"))
+    run_kg(spark, docs, alias, d_uniq, n_buckets=4)
+    run_kg(spark, doubled, alias, d_dedup, n_buckets=4, dedup=True)
+    run_kg(spark, doubled, alias, d_raw, n_buckets=4)
+
+    for table, cols in (("edges", ["subj_id", "pred", "obj_id", "doc_id", "sent_id"]),
+                        ("nodes", ["entity_id", "canonical", "type", "mention_count"]),
+                        ("annotations", ["doc_id", "sent_id", "token_id", "word"])):
+        assert _table_sig(spark, f"{d_dedup}/{table}", cols) == \
+            _table_sig(spark, f"{d_uniq}/{table}", cols), table
+
+    n_uniq = spark.read.parquet(f"{d_uniq}/annotations").count()
+    n_raw = spark.read.parquet(f"{d_raw}/annotations").count()
+    assert n_raw == 2 * n_uniq  # without dedup every duplicate pays the kernel
+    for d in (d_uniq, d_dedup, d_raw):
+        shutil.rmtree(d, ignore_errors=True)

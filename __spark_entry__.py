@@ -202,6 +202,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return same.agg(F.count(F.lit(1)).alias("n_docs_invariant"))
     q["kg_span_invariant"] = kg_span_invariant
 
+    def kg_annotations_degenerate(s, d):
+        """Kernel plumbing under a VALUE-checked driver oracle (VERDICT
+        r2 #6): feed every sentence's FIRST token through the real
+        mapInPandas kernel as a 1-token sentence.  For 1-token input
+        the outputs have closed forms the oracle verifies WITHOUT
+        running any kernel: MST head is always 0 (single root), tags
+        always land in the fixed seeded vocab (special-mask), and every
+        tag is a pure function of the token (context-free encoder) so
+        distinct (token, tags) combos == distinct tokens.  Any explode/
+        key/determinism/masking bug in the Spark stage breaks the hash.
+        """
+        from phonlp_spark.kernel.vocab import DEP_RELS, NER_TAGS, POS_TAGS
+        from phonlp_spark.pipeline.annotate import annotate_sentences_df
+        single = _sentences(s, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("sent_id").alias("span_idx"), "sent_id",
+            F.slice(F.split("sentence", " "), 1, 1).alias("tokens"))
+        ann = annotate_sentences_df(single)
+        row = ann.select(
+            F.col("tokens")[0].alias("tok"), F.col("upos")[0].alias("u"),
+            F.col("ner")[0].alias("n"), F.col("head")[0].alias("h"),
+            F.col("deprel")[0].alias("r"))
+        return row.agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+            F.countDistinct(F.concat_ws("", "tok", "u", "n", "r"))
+            .alias("n_tag_combos"),
+            F.sum((F.col("h") == 0).cast("long")).alias("n_head_root"),
+            F.sum(F.col("u").isin(*POS_TAGS).cast("long")).alias("n_valid_upos"),
+            F.sum(F.col("n").isin(*NER_TAGS).cast("long")).alias("n_valid_ner"),
+            F.sum(F.col("r").isin(*DEP_RELS).cast("long")).alias("n_valid_deprel"))
+    q["kg_annotations_degenerate"] = kg_annotations_degenerate
+
     # ---- scoring as aggregates (SURVEY §2.4) ----
     def _pred_gold(s, d):
         tok = _sentences(s, d).select(
@@ -801,6 +834,21 @@ FROM c"""
     # equals the table's row count exactly.
     o["kg_span_invariant"] = """
 SELECT count(*) AS n_docs_invariant FROM documents"""
+
+    # closed forms for 1-token sentences: the oracle touches NO kernel
+    # output — head 0 (single-root MST), valid-tag counts == row count
+    # (special-mask), tag combos == distinct tokens (per-token
+    # determinism of a context-free encoder)
+    o["kg_annotations_degenerate"] = _SENT_SQL + """
+, ft AS (SELECT string_split(sentence, ' ')[1] AS tok FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_tag_combos,
+       CAST(count(*) AS BIGINT) AS n_head_root,
+       CAST(count(*) AS BIGINT) AS n_valid_upos,
+       CAST(count(*) AS BIGINT) AS n_valid_ner,
+       CAST(count(*) AS BIGINT) AS n_valid_deprel
+FROM ft"""
 
     o["dedup_exact"] = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dupes

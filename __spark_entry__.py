@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_pairs_wide"] = lambda s, d: dedup.lsh_candidate_pairs(
         _docs(s, d), n_minhash=32, band=4)
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
+    # the composed production path: LSH candidates -> exact Jaccard
+    # verify (dedup_jaccard's quadratic shingle self-join never runs)
+    q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
+        _docs(s, d), min_pct=5)
 
     # ---- similarity search ----
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -547,6 +551,54 @@ buck AS ({bands})
 SELECT DISTINCT l.key AS a, r.key AS b
 FROM buck l JOIN buck r ON l.band = r.band AND l.bucket = r.bucket
 WHERE l.key < r.key
+"""
+
+
+def _lsh_verified_sql(min_pct: int = 5, n_minhash: int | None = None,
+                      band: int | None = None) -> str:
+    """LSH candidates -> exact Jaccard verification, one CTE chain
+    (mirrors ops.dedup.lsh_verified_pairs; shares the shingle CTE
+    between the minhash signatures and the verifier)."""
+    from phonlp_spark.ops.dedup import LSH_BAND, N_MINHASH
+    n_minhash = n_minhash or N_MINHASH
+    band = band or LSH_BAND
+    mh_cols = ", ".join(
+        f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::BIGINT) AS mh{j}"
+        for j in range(n_minhash))
+    bands = " UNION ALL ".join(
+        "SELECT key, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || '_' || ".join(
+                f"CAST(mh{b * band + j} AS VARCHAR)" for j in range(band)))
+        for b in range(n_minhash // band))
+    return f"""
+WITH t AS (SELECT doc_id AS key, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT key,
+         array_to_string(toks[i+1 : i+3], ' ') AS shingle
+  FROM t, UNNEST(range(CAST(greatest(len(toks) - 3, 0) AS BIGINT) + 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+sig AS (SELECT key, {mh_cols} FROM sh GROUP BY key),
+buck AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.key AS a, r.key AS b
+  FROM buck l JOIN buck r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.key < r.key
+),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+sh2 AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT key, count(*) AS sz FROM sh2 GROUP BY key),
+common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN sh2 l ON l.key = c.a
+  JOIN sh2 r ON r.key = c.b AND r.shingle = l.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b, common, na.sz AS na, nb.sz AS nb
+FROM common c JOIN sz na ON na.key = c.a JOIN sz nb ON nb.key = c.b
+WHERE 100 * common >= {min_pct} * (na.sz + nb.sz - common)
 """
 
 
@@ -877,6 +929,7 @@ WHERE 100 * common >= 5 * (na.sz + nb.sz - common)"""
     o["dedup_lsh_pairs"] = _minhash_sql(with_pairs=True)
     o["dedup_lsh_pairs_wide"] = _minhash_sql(with_pairs=True, n_minhash=32, band=4)
     o["dedup_simhash"] = _simhash_sql()
+    o["dedup_lsh_verified"] = _lsh_verified_sql(min_pct=5)
 
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),

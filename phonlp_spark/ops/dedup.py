@@ -122,6 +122,43 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
+                       text_col: str = "text", key_col: str = "doc_id",
+                       n_minhash: int = N_MINHASH, band: int = LSH_BAND,
+                       max_shingle_freq: int = 1000) -> DataFrame:
+    """The production near-dup composition: LSH banding GENERATES
+    candidates, exact n-gram Jaccard VERIFIES only those pairs.
+
+    jaccard_pairs alone self-joins the shingle table — quadratic within
+    hot shingle groups, the documented non-candidate-generator at
+    100 TB.  Here the intersection count runs only over LSH candidate
+    pairs (|cand| ~ linear in corpus for bounded duplication), with the
+    same stop-shingle guard and the same integer-exact threshold rule,
+    so output rows are a subset of jaccard_pairs (missing only pairs
+    LSH failed to collide — measured by the dedup family's recall
+    story, same as ann_recall for ANN).
+    """
+    cand = lsh_candidate_pairs(docs, n, text_col, key_col, n_minhash, band)
+    sh = token_shingles(docs, n, text_col, key_col)
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")) \
+            .filter(F.col("df") > max_shingle_freq).select("shingle")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("key").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("key").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("key", "a").withColumnRenamed("sz", "na"), "a")
+        .join(sizes.withColumnRenamed("key", "b").withColumnRenamed("sz", "nb"), "b")
+        .filter(F.lit(100) * F.col("common")
+                >= F.lit(min_pct) * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("a", "b", "common", "na", "nb")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(key, simhash): sign-aggregated token fingerprint over `bits` bits."""

@@ -272,3 +272,19 @@ def test_recall_vs_exact_counts(spark):  # noqa: F811
     row = similarity.recall_vs_exact(exact, approx, "m").collect()[0]
     assert (row["method"], row["hits"], row["total"],
             row["recall_permille"]) == ("m", 3, 4, 750)
+
+
+def test_lsh_verified_pairs_subset_of_exact(spark, docs):  # noqa: F811
+    """The composed production path (LSH candidates -> exact Jaccard
+    verify) returns exactly the exact-verifier rows for pairs LSH
+    collided — never a pair the exact rule rejects."""
+    exact = {(r["a"], r["b"]): (r["common"], r["na"], r["nb"])
+             for r in dedup.jaccard_pairs(docs, min_pct=5).collect()}
+    cand = {(r["a"], r["b"])
+            for r in dedup.lsh_candidate_pairs(docs).collect()}
+    got = {(r["a"], r["b"]): (r["common"], r["na"], r["nb"])
+           for r in dedup.lsh_verified_pairs(docs, min_pct=5).collect()}
+    assert set(got) == set(exact) & cand
+    for k, v in got.items():
+        assert v == exact[k]
+    assert got  # fixtures contain near-dups that LSH catches

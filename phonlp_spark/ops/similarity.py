@@ -306,16 +306,49 @@ def kmeans_centroids_q(embeddings: DataFrame, n_cells: int = 8,
     return cents
 
 
+def trained_centroids_rows(embeddings: DataFrame, n_cells: int = 8,
+                           iters: int = 3, sample_mod: int = 2,
+                           seed: int = 11, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> list[tuple[int, list[int]]]:
+    """Materialize the k-means fit as [(cell, cq)] driver-side, ordered
+    by cell.  Bounded (n_cells rows) by construction; the fit itself
+    stays distributed — only its tiny result crosses to the driver so
+    downstream assignment can be a shuffle-free literal expression."""
+    cents = kmeans_centroids_q(embeddings, n_cells, iters, sample_mod,
+                               seed, id_col, vec_col)
+    return sorted((r["cell"], list(r["cq"])) for r in cents.collect())
+
+
+def _scores_arr_q(cents_rows, vq) -> Column:
+    """array of 2*v.c - |c|^2 integer scores against literal centroids
+    (index == cell): pure per-row codegen, no join, no shuffle."""
+    terms = []
+    for _cell, cq in cents_rows:
+        lit_c = F.array(*[F.lit(int(x)).cast("long") for x in cq])
+        nrm = int(sum(x * x for x in cq))
+        terms.append(F.lit(2).cast("long") * F.aggregate(
+            F.zip_with(vq, lit_c, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a, v: a + v) - F.lit(nrm).cast("long"))
+    return F.array(*terms)
+
+
 def ivf_cells_trained(embeddings: DataFrame, n_cells: int = 8,
                       iters: int = 3, sample_mod: int = 2, seed: int = 11,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """(vec_id, cell) under k-means-trained centroids (the production
-    swap COVERAGE.md promises for the seeded ivf_cells)."""
-    cents = kmeans_centroids_q(embeddings, n_cells, iters, sample_mod,
-                               seed, id_col, vec_col)
-    return assign_cells_q(quantized_vecs(embeddings, id_col, vec_col),
-                          cents).select("vec_id", "cell")
+    swap COVERAGE.md promises for the seeded ivf_cells).
+
+    Corpus assignment is a PER-ROW literal-expression argmax — exactly
+    the seeded ivf_cells plan shape, zero shuffle over the corpus; only
+    the sample-sized fit shuffles.  First-max tie rule == smallest
+    cell, matching the fit's ORDER BY score DESC, cell."""
+    rows = trained_centroids_rows(embeddings, n_cells, iters, sample_mod,
+                                  seed, id_col, vec_col)
+    vq = quantized_vecs(embeddings, id_col, vec_col)
+    scores = _scores_arr_q(rows, F.col("vq"))
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return vq.select("vec_id", cell.alias("cell"))
 
 
 def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
@@ -329,21 +362,26 @@ def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
     score), then exact cosine rescoring runs only over those inverted
     lists — |corpus| * n_probe / n_cells candidates instead of the
     cross product.  A corpus vector lives in exactly one cell, so
-    probing never duplicates candidates.
+    probing never duplicates candidates.  Corpus-side cell assignment
+    is the shuffle-free literal projection (ivf_cells_trained); only
+    the |queries| * n_cells probe ranking touches a window.
     """
-    cents = kmeans_centroids_q(embeddings, n_cells, iters, sample_mod,
-                               seed, id_col, vec_col)
+    rows = trained_centroids_rows(embeddings, n_cells, iters, sample_mod,
+                                  seed, id_col, vec_col)
     vq = quantized_vecs(embeddings, id_col, vec_col)
-    cells = assign_cells_q(vq, cents).select("vec_id", "cell")
+    scores = _scores_arr_q(rows, F.col("vq"))
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    cells = vq.select("vec_id", cell.alias("cell"))
 
-    qscored = (vq.filter(F.col("vec_id").isin(query_ids))
-               .crossJoin(F.broadcast(cents))
-               .withColumn("_score", _score_q(F.col("vq"), F.col("cq"))))
+    probes_scored = (vq.filter(F.col("vec_id").isin(query_ids))
+                     .select("vec_id", F.posexplode(scores)
+                             .alias("cell", "_score")))
     wq = Window.partitionBy("vec_id").orderBy(
         F.col("_score").desc(), F.col("cell").asc())
-    probes = (qscored.withColumn("_rn", F.row_number().over(wq))
+    probes = (probes_scored.withColumn("_rn", F.row_number().over(wq))
               .filter(F.col("_rn") <= n_probe)
-              .select(F.col("vec_id").alias("query_id"), "cell"))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cell").cast("int").alias("cell")))
 
     cand = (cells.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))

@@ -87,11 +87,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
-                       key_col: str = "doc_id",
-                       n_minhash: int = N_MINHASH) -> DataFrame:
-    """(key, mh0..mh{N-1}): per-doc min over salted shingle hashes."""
-    sh = token_shingles(docs, n, text_col, key_col)
+def _signatures_from_shingles(sh: DataFrame, n_minhash: int) -> DataFrame:
     aggs = [
         F.min(_h64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(n_minhash)
@@ -99,12 +95,17 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
     return sh.groupBy("key").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
-                        key_col: str = "doc_id",
-                        n_minhash: int = N_MINHASH,
-                        band: int = LSH_BAND) -> DataFrame:
-    """Near-dup candidates: docs sharing any LSH band bucket."""
-    sig = minhash_signatures(docs, n, text_col, key_col, n_minhash)
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       key_col: str = "doc_id",
+                       n_minhash: int = N_MINHASH) -> DataFrame:
+    """(key, mh0..mh{N-1}): per-doc min over salted shingle hashes."""
+    return _signatures_from_shingles(
+        token_shingles(docs, n, text_col, key_col), n_minhash)
+
+
+def _lsh_pairs_from_shingles(sh: DataFrame, n_minhash: int,
+                             band: int) -> DataFrame:
+    sig = _signatures_from_shingles(sh, n_minhash)
     bands = []
     for b in range(n_minhash // band):
         cols = [F.col(f"mh{b * band + j}") for j in range(band)]
@@ -122,10 +123,20 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
+                        key_col: str = "doc_id",
+                        n_minhash: int = N_MINHASH,
+                        band: int = LSH_BAND) -> DataFrame:
+    """Near-dup candidates: docs sharing any LSH band bucket."""
+    return _lsh_pairs_from_shingles(
+        token_shingles(docs, n, text_col, key_col), n_minhash, band)
+
+
 def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
                        text_col: str = "text", key_col: str = "doc_id",
                        n_minhash: int = N_MINHASH, band: int = LSH_BAND,
-                       max_shingle_freq: int = 1000) -> DataFrame:
+                       max_shingle_freq: int = 1000,
+                       cache_registry: list | None = None) -> DataFrame:
     """The production near-dup composition: LSH banding GENERATES
     candidates, exact n-gram Jaccard VERIFIES only those pairs.
 
@@ -137,9 +148,19 @@ def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
     so output rows are a subset of jaccard_pairs (missing only pairs
     LSH failed to collide — measured by the dedup family's recall
     story, same as ann_recall for ANN).
+
+    ``cache_registry``: the plan references the shingle table from four
+    consumers (signatures, stop-shingle scan, sizes, intersection),
+    which re-shingles the corpus once per consumer when uncached.  Pass
+    a list to persist the shingles once and receive the handle for
+    unpersisting after the action (the build_graph convention); default
+    None keeps the operator stateless.
     """
-    cand = lsh_candidate_pairs(docs, n, text_col, key_col, n_minhash, band)
     sh = token_shingles(docs, n, text_col, key_col)
+    if cache_registry is not None:
+        sh = sh.persist()
+        cache_registry.append(sh)
+    cand = _lsh_pairs_from_shingles(sh, n_minhash, band)
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")) \
             .filter(F.col("df") > max_shingle_freq).select("shingle")
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti")

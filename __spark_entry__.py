@@ -35,6 +35,12 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# mixed content (nsubj..advmod) / functional (case..mark) / neither
+# (punct) relations for the synthesized CLAS trees
+_CLAS_RELS = ["nsubj", "obj", "nmod", "amod", "advmod",
+              "case", "det", "cc", "mark", "punct"]
+
+
 def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id bigint, sent_id int, sentence string): 12-token chunks."""
     toks = F.split(F.col("text"), " ")
@@ -299,6 +305,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .crossJoin(aligned.agg(F.count(F.lit(1)).alias("n_aligned")))
         )
     q["score_aligned_tokens"] = score_aligned_tokens
+
+    def score_clas(s, d):
+        """CLAS through the REAL cogrouped-alignment operator, with a
+        closed-form oracle: gold/system trees are md5-synthesized per
+        token (identical tokenization, so the LCS alignment is the
+        identity and every count is SQL-derivable), system heads/rels
+        perturbed on hash-chosen tokens.  Exercises clas_aligned's
+        alignment + head-mapping + content-filter arithmetic end to
+        end at the driver gate."""
+        from phonlp_spark.ops.alignment import clas_aligned
+        rels = F.array(*[F.lit(r) for r in _CLAS_RELS])
+        toks = _sentences(s, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "sent_id",
+            F.posexplode(F.split("sentence", " ")).alias("pos", "word"))
+        base = F.concat_ws(":", "doc_id", "sent_id", "token_id")
+
+        def h(prefix):
+            return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), base)),
+                                      1, 15), 16, 10).cast("bigint")
+
+        t = toks.select(
+            "doc_id", "sent_id",
+            (F.col("pos") + 1).cast("int").alias("token_id"), "word")
+        g_off = h("h:") % F.greatest(F.col("token_id") - 1, F.lit(1))
+        g_head = F.when(F.col("token_id") == 1, F.lit(0)) \
+            .otherwise(F.lit(1) + g_off).cast("int")
+        g_ri = (h("r:") % len(_CLAS_RELS)).cast("int")
+        g_rel = F.element_at(rels, g_ri + 1)
+        t = t.withColumn("g_head", g_head).withColumn("g_rel", g_rel)
+        # system: wrong head on ~1/7 of tokens with >=2 candidates,
+        # wrong rel on ~1/5 of tokens
+        s_head = F.when(
+            (F.col("token_id") > 2) & (h("ph:") % 7 == 0),
+            (F.lit(1) + (g_off + 1) % (F.col("token_id") - 1)).cast("int")
+        ).otherwise(F.col("g_head"))
+        s_rel = F.when(h("pr:") % 5 == 0,
+                       F.element_at(rels, ((g_ri + 1) % len(_CLAS_RELS)) + 1)
+                       ).otherwise(F.col("g_rel"))
+        gold = t.select("doc_id", "sent_id", "token_id", "word",
+                        F.col("g_head").alias("head"),
+                        F.col("g_rel").alias("deprel"))
+        system = t.select("doc_id", "sent_id", "token_id", "word",
+                          s_head.alias("head"), s_rel.alias("deprel"))
+        return clas_aligned(gold, system)
+    q["score_clas"] = score_clas
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -879,6 +930,56 @@ c AS (SELECT count(*) AS n_gold,
 SELECT CAST(n_gold AS BIGINT) AS n_gold,
        CAST(n_gold + n_split AS BIGINT) AS n_system,
        CAST(n_gold - n_split AS BIGINT) AS n_aligned
+FROM c"""
+
+    _rels_lit = "[" + ", ".join(f"'{r}'" for r in _CLAS_RELS) + "]"
+    _content_lit = "(" + ", ".join(
+        f"'{r}'" for r in _CLAS_RELS if r in (
+            "nsubj", "obj", "nmod", "amod", "advmod")) + ")"
+    o["score_clas"] = _SENT_SQL + f"""
+, tok0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, sent_id,
+         unnest(string_split(sentence, ' ')) AS word,
+         unnest(range(1, len(string_split(sentence, ' ')) + 1)) AS token_id
+  FROM s
+), ht AS (
+  SELECT doc_id, sent_id, CAST(token_id AS INT) AS token_id,
+         ('0x' || substr(md5('h:' || doc_id || ':' || CAST(sent_id AS VARCHAR)
+           || ':' || CAST(token_id AS VARCHAR)), 1, 15))::BIGINT
+           % greatest(token_id - 1, 1) AS g_off,
+         CAST(('0x' || substr(md5('r:' || doc_id || ':' || CAST(sent_id AS VARCHAR)
+           || ':' || CAST(token_id AS VARCHAR)), 1, 15))::BIGINT
+           % {len(_CLAS_RELS)} AS INT) AS g_ri,
+         ('0x' || substr(md5('ph:' || doc_id || ':' || CAST(sent_id AS VARCHAR)
+           || ':' || CAST(token_id AS VARCHAR)), 1, 15))::BIGINT % 7 AS ph,
+         ('0x' || substr(md5('pr:' || doc_id || ':' || CAST(sent_id AS VARCHAR)
+           || ':' || CAST(token_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS pr
+  FROM tok0
+), lab AS (
+  SELECT token_id,
+         CASE WHEN token_id = 1 THEN 0 ELSE 1 + g_off END AS g_head,
+         {_rels_lit}[g_ri + 1] AS g_rel,
+         CASE WHEN token_id > 2 AND ph = 0
+              THEN 1 + (g_off + 1) % (token_id - 1)
+              WHEN token_id = 1 THEN 0 ELSE 1 + g_off END AS s_head,
+         CASE WHEN pr = 0 THEN {_rels_lit}[((g_ri + 1) % {len(_CLAS_RELS)}) + 1]
+              ELSE {_rels_lit}[g_ri + 1] END AS s_rel
+  FROM ht
+), c AS (
+  SELECT sum(CASE WHEN g_rel IN {_content_lit} THEN 1 ELSE 0 END) AS n_gold,
+         sum(CASE WHEN s_rel IN {_content_lit} THEN 1 ELSE 0 END) AS n_system,
+         sum(CASE WHEN g_rel IN {_content_lit} THEN 1 ELSE 0 END) AS n_aligned,
+         sum(CASE WHEN g_rel IN {_content_lit} AND g_head = s_head
+                   AND g_rel = s_rel THEN 1 ELSE 0 END) AS n_correct
+  FROM lab
+)
+SELECT CAST(n_gold AS BIGINT) AS n_gold,
+       CAST(n_system AS BIGINT) AS n_system,
+       CAST(n_aligned AS BIGINT) AS n_aligned,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       CAST(n_correct * 1000 // greatest(n_system, 1) AS INT) AS precision_permille,
+       CAST(n_correct * 1000 // greatest(n_gold, 1) AS INT) AS recall_permille,
+       CAST(n_correct * 2000 // greatest(n_gold + n_system, 1) AS INT) AS f1_permille
 FROM c"""
 
     # Span-sequence invariant: every input document must reassemble to an

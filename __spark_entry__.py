@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "lang_pred", F.col("en_hits").cast("bigint").alias("en_hits"),
         F.col("vi_hits").cast("bigint").alias("vi_hits"))
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
+    q["text_len_percentiles"] = lambda s, d: textstats.length_percentiles(
+        _docs(s, d))
 
     # ---- multimodal plumbing ----
     q["media_kind_stats"] = lambda s, d: media_kind_stats(_interleaved(s, d))
@@ -1170,6 +1172,17 @@ FROM c"""
 SELECT doc_id,
        ('0x' || substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
 FROM documents"""
+
+    o["text_len_percentiles"] = """
+WITH h AS (SELECT len(string_split(text, ' ')) AS len, count(*) AS cnt
+           FROM documents GROUP BY 1),
+c AS (SELECT len, sum(cnt) OVER (ORDER BY len
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+n AS (SELECT sum(cnt) AS n FROM h)
+SELECT p.pct, CAST(min(c.len) AS BIGINT) AS n_tokens
+FROM (VALUES (50), (90), (99)) p(pct), c, n
+WHERE c.cum >= (n.n * p.pct + 99) // 100
+GROUP BY p.pct"""
 
     o["media_kind_stats"] = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

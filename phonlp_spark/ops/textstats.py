@@ -114,3 +114,34 @@ def nfd_normalize(docs: DataFrame, text_col: str = "text",
     nfd_udf = F.pandas_udf(_nfd, T.StringType())
     return docs.select(F.col(key_col).alias("doc_id"),
                        nfd_udf(F.col(text_col)).alias("text_nfd"))
+
+
+def length_percentiles(docs: DataFrame, pcts: tuple[int, ...] = (50, 90, 99),
+                       text_col: str = "text") -> DataFrame:
+    """(pct, n_tokens): EXACT token-count percentiles via the
+    histogram-cumsum pattern — percentile p is the smallest length
+    whose cumulative count reaches ceil(n * p / 100) (the inverted-CDF
+    / percentile_disc definition, integer arithmetic only).
+
+    Scale shape: one groupBy on the length (domain-bounded: distinct
+    document lengths, thousands of rows at any corpus size) plus a
+    window over that tiny histogram — never a global sort of the
+    corpus, which is how NOT to compute a percentile at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    hist = (docs.select(F.size(F.split(F.col(text_col), " ")).alias("len"))
+            .groupBy("len").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
+        .crossJoin(hist.agg(F.sum("cnt").alias("n")))
+    out = None
+    for p in pcts:
+        # target rank: ceil(n*p/100) in pure integers
+        need = F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)")
+        row = (cum.filter(F.col("cum") >= need)
+               .agg(F.min("len").alias("n_tokens"))
+               .select(F.lit(p).alias("pct"),
+                       F.col("n_tokens").cast("bigint").alias("n_tokens")))
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -288,3 +288,15 @@ def test_lsh_verified_pairs_subset_of_exact(spark, docs):  # noqa: F811
     for k, v in got.items():
         assert v == exact[k]
     assert got  # fixtures contain near-dups that LSH catches
+
+
+def test_length_percentiles_inverted_cdf(spark, docs):  # noqa: F811
+    """Exact inverted-CDF percentiles: engine result == numpy sorted
+    pick at ceil(n*p/100), computed over the same corpus."""
+    import math
+    lens = sorted(len(r["text"].split(" ")) for r in docs.collect())
+    got = {r["pct"]: r["n_tokens"]
+           for r in textstats.length_percentiles(docs).collect()}
+    n = len(lens)
+    for p in (50, 90, 99):
+        assert got[p] == lens[math.ceil(n * p / 100) - 1]

@@ -83,3 +83,40 @@ def test_fast_path_equals_distributed(spark):  # noqa: F811
     edges = [(a, b) for a, b in edges if a != b]
     _check(spark, edges, extra_nodes=nodes, small=0)      # distributed
     _check(spark, edges, extra_nodes=nodes, small=None)   # driver path
+
+
+def test_distributed_path_at_scale(spark):  # noqa: F811
+    """Pressure-test the alternating-star path well past the driver
+    fast-path cap (forced distributed): ~70k edges mixing a 25k-node chain (deep diameter),
+    30 hot hubs (skew), and random noise — labels must equal a driver
+    union-find exactly.  This is the code path a 100-TB graph takes."""
+    rng = random.Random(7)
+    edges = [(f"c{i:06d}", f"c{i+1:06d}") for i in range(25_000)]
+    edges += [(f"h{rng.randrange(30):02d}", f"s{i:06d}")
+              for i in range(20_000)]
+    edges += [(f"r{rng.randrange(30_000):06d}", f"r{rng.randrange(30_000):06d}")
+              for _ in range(25_000)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(16)
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, small_graph_edges=0).collect()}
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(m) for m in comp.values() for n in m}
+    assert got == want

@@ -169,3 +169,19 @@ def test_dedup_pre_stage_skips_kernel_for_duplicates(spark, tmp_path):  # noqa: 
     assert n_raw == 2 * n_uniq  # without dedup every duplicate pays the kernel
     for d in (d_uniq, d_dedup, d_raw):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_resume_interaction(spark, tmp_path):  # noqa: F811
+    """Resume fingerprints the DEDUPED input: a second dedup=True run
+    over the same (duplicated) source is a no-op, not a recompute."""
+    docs, alias = _inputs(spark, n=20)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.concat(F.lit("dup_"), "doc_id")))
+    out = str(tmp_path / "kg")
+    first = run_kg(spark, doubled, alias, out, n_buckets=4, dedup=True)
+    assert first["processed_buckets"]
+    again = run_kg(spark, doubled, alias, out, n_buckets=4, dedup=True)
+    assert again["processed_buckets"] == []
+    assert sorted(again["skipped_buckets"]) == sorted(
+        first["processed_buckets"])
+    shutil.rmtree(out, ignore_errors=True)

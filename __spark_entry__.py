@@ -367,6 +367,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
         _docs(s, d), min_pct=5)
 
+    def dedup_recall(s, d):
+        """Candidate-generation recall of the composed path: verified
+        pairs are a subset of the exact-Jaccard pairs by construction,
+        so recall = |verified| / |exact| — the dedup twin of
+        ann_recall."""
+        hits = dedup.lsh_verified_pairs(_docs(s, d), min_pct=5) \
+            .agg(F.count(F.lit(1)).alias("hits"))
+        total = dedup.jaccard_pairs(_docs(s, d), min_pct=5) \
+            .agg(F.count(F.lit(1)).alias("total"))
+        return (hits.crossJoin(total)
+                .select(F.col("hits").cast("bigint").alias("hits"),
+                        F.col("total").cast("bigint").alias("total"),
+                        F.expr("CAST(hits * 1000 DIV greatest(total, 1) AS INT)")
+                        .alias("recall_permille")))
+    q["dedup_recall"] = dedup_recall
+
     # ---- similarity search ----
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
@@ -1033,6 +1049,12 @@ WHERE 100 * common >= 5 * (na.sz + nb.sz - common)"""
     o["dedup_lsh_pairs_wide"] = _minhash_sql(with_pairs=True, n_minhash=32, band=4)
     o["dedup_simhash"] = _simhash_sql()
     o["dedup_lsh_verified"] = _lsh_verified_sql(min_pct=5)
+    o["dedup_recall"] = f"""
+SELECT CAST((SELECT count(*) FROM ({_lsh_verified_sql(min_pct=5)})) AS BIGINT) AS hits,
+       CAST((SELECT count(*) FROM ({o['dedup_jaccard']})) AS BIGINT) AS total,
+       CAST((SELECT count(*) FROM ({_lsh_verified_sql(min_pct=5)})) * 1000
+            // greatest((SELECT count(*) FROM ({o['dedup_jaccard']})), 1) AS INT)
+       AS recall_permille"""
 
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),

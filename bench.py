@@ -86,6 +86,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
 
     qs = entry.queries()
     headline = ["kg_sentences", "kg_vocab", "dedup_lsh_pairs", "dedup_jaccard",
+                "dedup_lsh_verified",
                 "ann_cosine_topk", "text_quality", "tpch_pricing",
                 "tpch_top_customers", "events_hourly", "kg_components"]
     times: dict[str, float] = {}

@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_pairs_wide"] = lambda s, d: dedup.lsh_candidate_pairs(
         _docs(s, d), n_minhash=32, band=4)
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
+    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
+        _docs(s, d), max_hamming=3, n_bands=4, bits=32)
     # the composed production path: LSH candidates -> exact Jaccard
     # verify (dedup_jaccard's quadratic shingle self-join never runs)
     q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
@@ -569,14 +571,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int | None = None) -> str:
     from phonlp_spark.ops.dedup import SIMHASH_BITS
+    bits = bits or SIMHASH_BITS
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(SIMHASH_BITS))
+        for b in range(bits))
     recombine = " + ".join(
         f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS))
+        for b in range(bits))
     return f"""
 WITH tok AS (
   SELECT doc_id AS key, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -587,6 +590,29 @@ WITH tok AS (
 )
 SELECT key, CAST({recombine} AS BIGINT) AS simhash FROM agg
 """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4,
+                       bits: int | None = None) -> str:
+    """Banded SimHash near-dup pairs (mirrors ops.dedup.simhash_pairs)."""
+    from phonlp_spark.ops.dedup import SIMHASH_BITS
+    bits = bits or SIMHASH_BITS
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT key, {b} AS band, (simhash >> {b * width}) & {mask} AS chunk,"
+        f" simhash FROM sig"
+        for b in range(n_bands))
+    return f"""
+WITH sig AS ({_simhash_sql(bits)}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.key AS a, r.key AS b, l.simhash AS sa, r.simhash AS sb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.chunk = r.chunk
+  WHERE l.key < r.key
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
 def _minhash_sql(with_pairs: bool, n_minhash: int | None = None,
@@ -1048,6 +1074,7 @@ WHERE 100 * common >= 5 * (na.sz + nb.sz - common)"""
     o["dedup_lsh_pairs"] = _minhash_sql(with_pairs=True)
     o["dedup_lsh_pairs_wide"] = _minhash_sql(with_pairs=True, n_minhash=32, band=4)
     o["dedup_simhash"] = _simhash_sql()
+    o["dedup_simhash_pairs"] = _simhash_pairs_sql(max_hamming=3, n_bands=4, bits=32)
     o["dedup_lsh_verified"] = _lsh_verified_sql(min_pct=5)
     o["dedup_recall"] = f"""
 SELECT CAST((SELECT count(*) FROM ({_lsh_verified_sql(min_pct=5)})) AS BIGINT) AS hits,

@@ -180,6 +180,46 @@ def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
     )
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  n_bands: int = 4, text_col: str = "text",
+                  key_col: str = "doc_id",
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """(a, b, hamming): near-dup pairs under SimHash Hamming distance.
+
+    Candidates come from banding the fingerprint into n_bands equal
+    chunks and joining on (band, chunk value) — by pigeonhole, any pair
+    within max_hamming <= n_bands - 1 bit flips shares at least one
+    band exactly, so candidate generation is COMPLETE for the default
+    parameters (3 flips cannot touch all 4 bands).  Exact popcount-of-
+    xor verification then filters; everything is integer codegen, never
+    a cross product.
+    """
+    assert bits % n_bands == 0, "bands must tile the fingerprint"
+    assert max_hamming <= n_bands - 1, (
+        "completeness needs max_hamming <= n_bands - 1 (pigeonhole)")
+    width = bits // n_bands
+    sig = simhash(docs, text_col, key_col, bits)
+    bandr = None
+    for b in range(n_bands):
+        chunk = F.shiftright(F.col("simhash"), b * width) \
+            .bitwiseAND(F.lit((1 << width) - 1))
+        part = sig.select("key", F.lit(b).alias("band"),
+                          chunk.alias("chunk"), "simhash")
+        bandr = part if bandr is None else bandr.unionByName(part)
+    cand = (
+        bandr.alias("l").join(bandr.alias("r"), ["band", "chunk"])
+        .filter(F.col("l.key") < F.col("r.key"))
+        .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"),
+                F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(key, simhash): sign-aggregated token fingerprint over `bits` bits."""

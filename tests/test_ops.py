@@ -300,3 +300,25 @@ def test_length_percentiles_inverted_cdf(spark, docs):  # noqa: F811
     n = len(lens)
     for p in (50, 90, 99):
         assert got[p] == lens[math.ceil(n * p / 100) - 1]
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark, docs):  # noqa: F811
+    """Pigeonhole completeness: with max_hamming <= n_bands - 1 the
+    banded join must find EVERY pair within the Hamming budget, so the
+    result equals the all-pairs brute force."""
+    sigs = {r["key"]: r["simhash"]
+            for r in dedup.simhash(docs, bits=32).collect()}
+    keys = sorted(sigs)
+    want = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for i, a in enumerate(keys) for b in keys[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_pairs(docs, max_hamming=3, n_bands=4,
+                                        bits=32).collect()}
+    assert got == want
+    assert any(h == 0 for h in got.values())  # exact dupes in fixtures
+
+
+def test_simhash_pairs_rejects_incomplete_params(spark, docs):  # noqa: F811
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, max_hamming=4, n_bands=4)

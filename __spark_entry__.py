@@ -436,6 +436,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dups(
         _table(s, d, "embeddings"), min_cos_x1000=300)
 
+    q["dedup_embedding_multi"] = lambda s, d: similarity.embedding_near_dups_multi(
+        _table(s, d, "embeddings"), min_cos_x1000=300)
+    q["dedup_embedding_ivf"] = lambda s, d: similarity.embedding_near_dups_ivf(
+        _table(s, d, "embeddings"), min_cos_x1000=300)
+
+    def dedup_embedding_recall(s, d):
+        """Candidate recall of the embedding near-dup variants vs the
+        brute-force threshold pairs (the exact side exists only as a
+        measurement denominator — production never runs it)."""
+        emb = _table(s, d, "embeddings")
+        left = emb.select(F.col("vec_id").alias("a"),
+                          F.col("embedding").alias("va"))
+        right = emb.select(F.col("vec_id").alias("b"),
+                           F.col("embedding").alias("vb"))
+        cos = similarity.dot(F.col("va"), F.col("vb")) / (
+            similarity.norm(F.col("va")) * similarity.norm(F.col("vb")))
+        exact = (left.join(right, F.col("a") < F.col("b"))
+                 .filter(F.round(cos * 1000) >= 300))
+        total = exact.agg(F.count(F.lit(1)).alias("total"))
+        out = None
+        for m, appr in (
+                ("lsh_p4", similarity.embedding_near_dups(
+                    emb, min_cos_x1000=300)),
+                ("lsh_multi", similarity.embedding_near_dups_multi(
+                    emb, min_cos_x1000=300)),
+                ("ivf_trained", similarity.embedding_near_dups_ivf(
+                    emb, min_cos_x1000=300))):
+            row = (appr.agg(F.count(F.lit(1)).alias("hits"))
+                   .crossJoin(total)
+                   .select(F.lit(m).alias("method"),
+                           F.col("hits").cast("bigint").alias("hits"),
+                           F.col("total").cast("bigint").alias("total"),
+                           F.expr("CAST(hits * 1000 DIV greatest(total, 1)"
+                                  " AS INT)").alias("recall_permille")))
+            out = row if out is None else out.unionAll(row)
+        return out
+    q["dedup_embedding_recall"] = dedup_embedding_recall
+
     # ---- text analysis ----
     q["text_token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -768,19 +806,28 @@ def _kmeans_ctes(p: str = "km", n_cells: int = 8, iters: int = 3,
     return ctes, f"{p}_c{iters}"
 
 
-def _ivf_trained_ctes(p: str = "km", n_probe: int = 2, k: int = 5,
-                      nq: int = 10) -> tuple[list[str], str]:
-    """CTEs through trained-centroid corpus assignment, query probing
-    (n_probe nearest cells) and exact cosine rescoring; final CTE is
-    the ranked top-k table {p}_top (already filtered to rank <= k)."""
+def _ivf_cells_ctes(p: str = "km") -> tuple[list[str], str]:
+    """CTEs through trained-centroid corpus assignment; final CTE is
+    {p}_cells (vec_id, cell)."""
     ctes, cfin = _kmeans_ctes(p)
-    cos = _COS.format(a="q.embedding", b="n.embedding")
     ctes += [
         f"{p}_cs AS (SELECT e.vec_id, c.cell, {_q_score('e.vq', 'c.cq')} AS score"
         f" FROM {p}_vq e CROSS JOIN {cfin} c)",
         f"{p}_cells AS (SELECT vec_id, cell FROM (SELECT *, row_number()"
         f" OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM {p}_cs)"
         f" WHERE rn = 1)",
+    ]
+    return ctes, f"{p}_cells"
+
+
+def _ivf_trained_ctes(p: str = "km", n_probe: int = 2, k: int = 5,
+                      nq: int = 10) -> tuple[list[str], str]:
+    """CTEs through trained-centroid corpus assignment, query probing
+    (n_probe nearest cells) and exact cosine rescoring; final CTE is
+    the ranked top-k table {p}_top (already filtered to rank <= k)."""
+    ctes, _cells = _ivf_cells_ctes(p)
+    cos = _COS.format(a="q.embedding", b="n.embedding")
+    ctes += [
         f"{p}_probes AS (SELECT vec_id AS query_id, cell FROM (SELECT *, row_number()"
         f" OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM {p}_cs"
         f" WHERE vec_id < {nq}) WHERE rn <= {n_probe})",
@@ -1182,6 +1229,54 @@ pairs AS (
 )
 SELECT a, b, CAST(round(cos * 1000) AS INT) AS cos_x1000
 FROM pairs WHERE round(cos * 1000) >= 300"""
+
+    _embcos = _COS.format(a="l.embedding", b="r.embedding")
+    _mb_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id,"
+        f" CAST({_lsh_bucket_expr(planes=6, seed=7 + t)} AS INT) AS bucket"
+        f" FROM embeddings" for t in range(4))
+    o["dedup_embedding_multi"] = f"""
+WITH mb AS ({_mb_arms}),
+cand AS (
+  SELECT DISTINCT ml.vec_id AS a, mr.vec_id AS b
+  FROM mb ml JOIN mb mr ON ml.table_id = mr.table_id AND ml.bucket = mr.bucket
+  WHERE ml.vec_id < mr.vec_id
+)
+SELECT c.a, c.b, CAST(round(({_embcos}) * 1000) AS INT) AS cos_x1000
+FROM cand c JOIN embeddings l ON l.vec_id = c.a
+JOIN embeddings r ON r.vec_id = c.b
+WHERE round(({_embcos}) * 1000) >= 300"""
+
+    _ivfc_ctes, _ivfc_cells = _ivf_cells_ctes("km")
+    o["dedup_embedding_ivf"] = (
+        "WITH " + ",\n".join(_ivfc_ctes) + f""",
+ep AS (SELECT c.vec_id, c.cell, e.embedding FROM {_ivfc_cells} c
+       JOIN embeddings e ON e.vec_id = c.vec_id)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       CAST(round(({_embcos}) * 1000) AS INT) AS cos_x1000
+FROM ep l JOIN ep r ON l.cell = r.cell AND l.vec_id < r.vec_id
+WHERE round(({_embcos}) * 1000) >= 300""")
+
+    o["dedup_embedding_recall"] = f"""
+WITH exact AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+  WHERE round(({_embcos}) * 1000) >= 300
+),
+appr1 AS ({o['dedup_embedding']}),
+apprm AS ({o['dedup_embedding_multi']}),
+appri AS ({o['dedup_embedding_ivf']}),
+m AS (
+  SELECT 'lsh_p4' AS method, (SELECT count(*) FROM appr1) AS hits
+  UNION ALL
+  SELECT 'lsh_multi' AS method, (SELECT count(*) FROM apprm) AS hits
+  UNION ALL
+  SELECT 'ivf_trained' AS method, (SELECT count(*) FROM appri) AS hits
+),
+tot AS (SELECT count(*) AS total FROM exact)
+SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
+       CAST(hits * 1000 // greatest(total, 1) AS INT) AS recall_permille
+FROM m, tot"""
 
     o["text_token_stats"] = """
 SELECT doc_id,

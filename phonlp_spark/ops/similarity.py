@@ -195,6 +195,38 @@ def embedding_near_dups(embeddings: DataFrame, min_cos_x1000: int = 950,
     return pairs.select("a", "b", "cos_x1000")
 
 
+def embedding_near_dups_multi(embeddings: DataFrame,
+                              min_cos_x1000: int = 950,
+                              n_tables: int = 4, planes: int = 6,
+                              seed: int = 7, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs with OR-amplified candidates: the union of L hash
+    tables' bucket collisions, deduped, then exact-cosine thresholded.
+    Same output contract as embedding_near_dups; the recall gate
+    (dedup_embedding_recall) measures how much more of the true pair
+    set the amplification retrieves."""
+    mb = lsh_buckets_multi(embeddings, n_tables, planes, seed,
+                           id_col, vec_col)
+    cand = (
+        mb.alias("l").join(mb.alias("r"), ["table_id", "bucket"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    e_a = embeddings.select(F.col(id_col).alias("a"),
+                            F.col(vec_col).alias("va"))
+    e_b = embeddings.select(F.col(id_col).alias("b"),
+                            F.col(vec_col).alias("vb"))
+    return (
+        cand.join(e_a, "a").join(e_b, "b")
+        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                    / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cos_x1000", F.round(F.col("cos") * 1000).cast("int"))
+        .filter(F.col("cos_x1000") >= min_cos_x1000)
+        .select("a", "b", "cos_x1000")
+    )
+
+
 def seeded_centroids(seed: int = 11, n_cells: int = 8,
                      dim: int = EMB_DIM) -> np.ndarray:
     """IVF cell centroids.  Seeded draws here (deterministic, engine-
@@ -400,6 +432,36 @@ def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def embedding_near_dups_ivf(embeddings: DataFrame,
+                            min_cos_x1000: int = 950,
+                            n_cells: int = 8, iters: int = 3,
+                            sample_mod: int = 2, seed: int = 11,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs with trained-IVF-cell candidates: pairs sharing a
+    k-means cell (shuffle-free assignment), exact-cosine thresholded.
+    On clustered embeddings the cells track the actual neighborhoods,
+    so candidate recall beats hyperplane bucketing — measured by
+    dedup_embedding_recall."""
+    cells = ivf_cells_trained(embeddings, n_cells, iters, sample_mod,
+                              seed, id_col, vec_col)
+    e = embeddings.join(cells, embeddings[id_col] == cells["vec_id"]) \
+        .select(cells["vec_id"], F.col(vec_col).alias("v"), "cell")
+    left = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                    "cell")
+    right = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                     "cell")
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                    / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cos_x1000", F.round(F.col("cos") * 1000).cast("int"))
+        .filter(F.col("cos_x1000") >= min_cos_x1000)
+        .select("a", "b", "cos_x1000")
+    )
 
 
 def recall_vs_exact(exact: DataFrame, approx: DataFrame,

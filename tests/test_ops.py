@@ -322,3 +322,29 @@ def test_simhash_pairs_complete_vs_brute_force(spark, docs):  # noqa: F811
 def test_simhash_pairs_rejects_incomplete_params(spark, docs):  # noqa: F811
     with pytest.raises(AssertionError, match="pigeonhole"):
         dedup.simhash_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_embedding_near_dup_candidates_improve(spark):  # noqa: F811
+    """Candidate-generation ladder on clustered embeddings: trained-IVF
+    cells must retrieve at least as many true near-dup pairs as
+    multi-table LSH, which must beat a single table; every variant's
+    output is a subset of the brute-force threshold pairs."""
+    emb = _clustered_emb(spark, n=90, n_clusters=5)
+    thr = 800
+    left = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    right = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = similarity.dot(F.col("va"), F.col("vb")) / (
+        similarity.norm(F.col("va")) * similarity.norm(F.col("vb")))
+    exact = {(r["a"], r["b"]) for r in
+             left.join(right, F.col("a") < F.col("b"))
+             .filter(F.round(cos * 1000) >= thr).collect()}
+    single = {(r["a"], r["b"]) for r in similarity.embedding_near_dups(
+        emb, min_cos_x1000=thr, planes=6).collect()}
+    multi = {(r["a"], r["b"]) for r in similarity.embedding_near_dups_multi(
+        emb, min_cos_x1000=thr, n_tables=4, planes=6).collect()}
+    ivf = {(r["a"], r["b"]) for r in similarity.embedding_near_dups_ivf(
+        emb, min_cos_x1000=thr, n_cells=5).collect()}
+    assert single <= exact and multi <= exact and ivf <= exact
+    assert len(multi) >= len(single)
+    assert len(ivf) >= len(multi)
+    assert exact  # the fixture actually contains near-dups

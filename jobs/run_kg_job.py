@@ -6,7 +6,8 @@ Usage (north-rule launch shape):
     spark-submit --py-files phonlp_spark.zip jobs/run_kg_job.py \
         --input  <documents parquet dir (interleaved spans schema)> \
         --output <out dir>  [--buckets 256] [--alias-names <txt file>] \
-        [--salt-partitions N] [--no-resume] [--checkpoint <weights dir>]
+        [--salt-partitions N] [--no-resume] [--dedup] \
+        [--checkpoint <weights dir>]
 
 The job is resumable: buckets recorded 'done' in <output>/manifest for
 the same input fingerprint AND bucket layout are skipped; interrupted
@@ -42,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
                         "FIXTURES seeded names")
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--dedup", action="store_true",
+                   help="exact-dedup documents (min doc_id per span-"
+                        "sequence digest) before the annotation kernel")
     p.add_argument("--checkpoint", default=None,
                    help="model weights dir (weights.npz + meta.json); "
                         "propagated to executors via "
@@ -75,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         salt_partitions=args.salt_partitions,
         resume=not args.no_resume,
+        dedup=args.dedup,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -241,6 +241,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.col("r").isin(*DEP_RELS).cast("long")).alias("n_valid_deprel"))
     q["kg_annotations_degenerate"] = kg_annotations_degenerate
 
+    def kg_mentions_degenerate(s, d):
+        """Mention/triple kernel plumbing under closed-form oracle
+        invariants, same degenerate-input trick: a 1-token sentence can
+        yield at most one mention, whose span must be (0,0)
+        (INCLUSIVE 0-based indices, kernel/bioes.py:53), whose text
+        must equal the token, whose type must be a literal NER type;
+        mention behavior is a pure function of the token; and a triple
+        REQUIRES two mentions, so the triple count is exactly zero.
+        Every violation column's oracle value is the constant 0."""
+        from phonlp_spark.kernel.vocab import NER_TYPES
+        from phonlp_spark.pipeline.annotate import annotate_sentences_df
+        single = _sentences(s, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("sent_id").alias("span_idx"), "sent_id",
+            F.slice(F.split("sentence", " "), 1, 1).alias("tokens"))
+        ann = annotate_sentences_df(
+            single, columns=("tokens", "mentions", "triples"))
+        rows = ann.select(
+            F.col("tokens")[0].alias("tok"),
+            F.size("mentions").alias("nm"),
+            F.size("triples").alias("nt"),
+            F.get("mentions", 0).alias("m"))
+        per_tok = (rows
+                   .groupBy("tok")
+                   .agg(F.countDistinct(F.struct(
+                       (F.col("nm") > 0).alias("has"),
+                       F.coalesce(F.col("m.type"), F.lit("")).alias("typ")))
+                       .alias("variants"))
+                   .agg(F.sum((F.col("variants") > 1).cast("long"))
+                        .alias("n_inconsistent_tokens")))
+        agg = rows.agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("nm") > 1).cast("long")).alias("n_multi_mention"),
+            F.sum(((F.col("nm") > 0) & (
+                (F.col("m.start") != 0) | (F.col("m.end") != 0)))
+                .cast("long")).alias("n_bad_span"),
+            F.sum(((F.col("nm") > 0) & (F.col("m.text") != F.col("tok")))
+                  .cast("long")).alias("n_text_mismatch"),
+            F.sum(((F.col("nm") > 0) & (~F.col("m.type").isin(*NER_TYPES)))
+                  .cast("long")).alias("n_bad_type"),
+            F.sum("nt").cast("long").alias("n_triples"))
+        return agg.crossJoin(per_tok).select(
+            "n_sentences", "n_multi_mention", "n_bad_span",
+            "n_text_mismatch", "n_bad_type", "n_triples",
+            "n_inconsistent_tokens")
+    q["kg_mentions_degenerate"] = kg_mentions_degenerate
+
     # ---- scoring as aggregates (SURVEY §2.4) ----
     def _pred_gold(s, d):
         tok = _sentences(s, d).select(
@@ -1093,6 +1140,16 @@ SELECT CAST(count(*) AS BIGINT) AS n_sentences,
        CAST(count(*) AS BIGINT) AS n_valid_ner,
        CAST(count(*) AS BIGINT) AS n_valid_deprel
 FROM ft"""
+
+    o["kg_mentions_degenerate"] = _SENT_SQL + """
+SELECT CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(0 AS BIGINT) AS n_multi_mention,
+       CAST(0 AS BIGINT) AS n_bad_span,
+       CAST(0 AS BIGINT) AS n_text_mismatch,
+       CAST(0 AS BIGINT) AS n_bad_type,
+       CAST(0 AS BIGINT) AS n_triples,
+       CAST(0 AS BIGINT) AS n_inconsistent_tokens
+FROM s"""
 
     o["dedup_exact"] = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.posexplode(F.split("sentence", " ")).alias("pos", "token"))
         tok = tok.select(
             "doc_id", "sent_id", (F.col("pos") + 1).cast("int").alias("token_id"),
+            F.col("token").alias("word"),
             F.concat(F.lit("T"), (F.conv(F.substring(F.md5("token"), 1, 1), 16, 10)
                                   .cast("int") % 4).cast("string")).alias("ptag"),
             F.concat(F.lit("T"), (F.conv(F.substring(F.md5(F.concat(F.lit("g:"),
@@ -353,15 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["score_aligned_tokens"] = score_aligned_tokens
 
-    def score_clas(s, d):
-        """CLAS through the REAL cogrouped-alignment operator, with a
-        closed-form oracle: gold/system trees are md5-synthesized per
-        token (identical tokenization, so the LCS alignment is the
-        identity and every count is SQL-derivable), system heads/rels
-        perturbed on hash-chosen tokens.  Exercises clas_aligned's
-        alignment + head-mapping + content-filter arithmetic end to
-        end at the driver gate."""
-        from phonlp_spark.ops.alignment import clas_aligned
+    def _synth_trees(s, d):
+        """md5-synthesized gold/system dependency trees over identical
+        tokenization (so the LCS alignment is the identity and every
+        aligned-metric count is SQL-derivable); system heads/rels are
+        perturbed on hash-chosen tokens."""
         rels = F.array(*[F.lit(r) for r in _CLAS_RELS])
         toks = _sentences(s, d).select(
             F.col("doc_id").cast("string").alias("doc_id"), "sent_id",
@@ -395,8 +392,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("g_rel").alias("deprel"))
         system = t.select("doc_id", "sent_id", "token_id", "word",
                           s_head.alias("head"), s_rel.alias("deprel"))
+        return gold, system
+
+    def score_clas(s, d):
+        """CLAS through the REAL cogrouped-alignment operator; see
+        _synth_trees for why the oracle is closed-form."""
+        from phonlp_spark.ops.alignment import clas_aligned
+        gold, system = _synth_trees(s, d)
         return clas_aligned(gold, system)
     q["score_clas"] = score_clas
+
+    def score_uas_las(s, d):
+        """Unfiltered aligned UAS/LAS through the same cogrouped
+        operator and synthetic trees (identity alignment ⇒ closed-form
+        oracle counts)."""
+        from phonlp_spark.ops.alignment import uas_las_aligned
+        gold, system = _synth_trees(s, d)
+        return uas_las_aligned(gold, system)
+    q["score_uas_las"] = score_uas_las
+
+    def score_upos_aligned(s, d):
+        """The UD-eval "UPOS" Score through the real aligned-field
+        operator: identical tokenization on both sides (identity
+        alignment), md5-derived pred/gold tags — every Score count is
+        SQL-derivable in closed form."""
+        from phonlp_spark.ops.alignment import aligned_field_score
+        tok = _pred_gold(s, d)
+        gold = tok.select("doc_id", "sent_id", "token_id", "word",
+                          F.col("gtag").alias("upos"))
+        system = tok.select("doc_id", "sent_id", "token_id", "word",
+                            F.col("ptag").alias("upos"))
+        return aligned_field_score(gold, system, "upos")
+    q["score_upos_aligned"] = score_upos_aligned
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -1047,6 +1074,21 @@ SELECT t.tag, coalesce(guessed, 0) AS guessed, coalesce(gold, 0) AS gold,
 FROM (SELECT tag FROM guessed UNION SELECT tag FROM goldc) t
 LEFT JOIN guessed USING (tag) LEFT JOIN goldc USING (tag) LEFT JOIN correct USING (tag)"""
 
+    o["score_upos_aligned"] = _pg + """
+SELECT CAST(count(*) AS BIGINT) AS n_gold,
+       CAST(count(*) AS BIGINT) AS n_system,
+       CAST(count(*) AS BIGINT) AS n_aligned,
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 1000
+            // greatest(count(*), 1) AS INT) AS precision_permille,
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 1000
+            // greatest(count(*), 1) AS INT) AS recall_permille,
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 2000
+            // greatest(2 * count(*), 1) AS INT) AS f1_permille,
+       CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) * 1000
+            // greatest(count(*), 1) AS INT) AS aligned_acc_permille
+FROM tok"""
+
     o["score_pos_acc"] = _pg + """
 SELECT count(*) AS n_tokens,
        CAST(sum(CASE WHEN ptag = gtag THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -1119,6 +1161,21 @@ SELECT CAST(n_gold AS BIGINT) AS n_gold,
        CAST(n_correct * 1000 // greatest(n_gold, 1) AS INT) AS recall_permille,
        CAST(n_correct * 2000 // greatest(n_gold + n_system, 1) AS INT) AS f1_permille
 FROM c"""
+
+    # unfiltered aligned UAS/LAS over the same synthetic trees: the
+    # identity alignment makes arc correctness g_head = s_head exactly
+    _clas_prefix, _clas_agg = o["score_clas"].split("), c AS (", 1)
+    o["score_uas_las"] = _clas_prefix + """)
+, u AS (
+  SELECT count(*) AS n_aligned,
+         sum(CASE WHEN g_head = s_head THEN 1 ELSE 0 END) AS n_ua,
+         sum(CASE WHEN g_head = s_head AND g_rel = s_rel THEN 1 ELSE 0 END) AS n_la
+  FROM lab
+)
+SELECT CAST(n_aligned AS BIGINT) AS n_aligned,
+       CAST(n_ua * 1000 // greatest(n_aligned, 1) AS INT) AS uas_permille,
+       CAST(n_la * 1000 // greatest(n_aligned, 1) AS INT) AS las_permille
+FROM u"""
 
     # Span-sequence invariant: every input document must reassemble to an
     # identical span sequence after the pipeline, so the invariant count

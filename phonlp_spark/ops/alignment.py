@@ -226,6 +226,48 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
     return gold.sparkSession.createDataFrame([row], out.schema)
 
 
+def aligned_field_score(gold: DataFrame, system: DataFrame,
+                        field: str = "upos") -> DataFrame:
+    """UD-eval per-field Score over LCS-aligned words (the reference's
+    "UPOS"/"XPOS"/"Lemmas" metrics, conll18_ud_eval.py:527-529 with
+    alignment_score key_fn=columns[field]): a matched pair is correct
+    when both sides carry the same field value.
+
+    Inputs: (doc_id, sent_id, token_id, word, <field>).  One row:
+    (n_gold, n_system, n_aligned, n_correct, precision_permille,
+    recall_permille, f1_permille, aligned_acc_permille), integer DIV.
+    """
+    aligned = align_tokens(gold, system).cache()
+    g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
+                    F.col(field).alias("g_f"))
+    s = system.select(*SENT_KEY, F.col("token_id").alias("system_token_id"),
+                      F.col(field).alias("s_f"))
+    j = aligned.join(g, SENT_KEY + ["gold_token_id"]).join(
+        s, SENT_KEY + ["system_token_id"])
+    agg = j.agg(F.count(F.lit(1)).alias("n_aligned"),
+                F.sum((F.col("g_f") == F.col("s_f")).cast("long"))
+                .alias("n_correct"))
+    gold_n = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    sys_n = system.agg(F.count(F.lit(1)).alias("n_system"))
+    out = (gold_n.crossJoin(sys_n).crossJoin(agg)
+           .select("n_gold", "n_system",
+                   F.coalesce("n_aligned", F.lit(0)).alias("n_aligned"),
+                   F.coalesce("n_correct", F.lit(0)).alias("n_correct"))
+           .select(
+               "n_gold", "n_system", "n_aligned", "n_correct",
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_system, 1)"
+                      " AS INT)").alias("precision_permille"),
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_gold, 1)"
+                      " AS INT)").alias("recall_permille"),
+               F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system,"
+                      " 1) AS INT)").alias("f1_permille"),
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_aligned, 1)"
+                      " AS INT)").alias("aligned_acc_permille")))
+    row = out.collect()[0]
+    aligned.unpersist()
+    return gold.sparkSession.createDataFrame([row], out.schema)
+
+
 # The UD content relations (reference conll18_ud_eval.py:105-135);
 # everything else (aux/cop/mark/det/clf/case/cc, punct, ...) is
 # excluded from CLAS.

@@ -211,3 +211,57 @@ def test_clas_excludes_functional_words(spark):  # noqa: F811
     got = clas_aligned(df, df).collect()[0]
     assert got["n_gold"] == got["n_system"] == got["n_correct"] == 3
     assert got["f1_permille"] == 1000
+
+
+# gold/system with UPOS values; system B mislabels two tags
+GOLD_POS = [("1", "ab", "N"), ("2", "c", "V"), ("3-4", "du", "_"),
+            ("3", "de", "E"), ("4", "le", "L"), ("5", "x", "N")]
+SYSA_POS = [("1", "ab", "N"), ("2", "c", "A"), ("3", "du", "E"),
+            ("4", "x", "N")]
+SYSB_POS = [("1", "ab", "N"), ("2", "c", "V"), ("3-4", "du", "_"),
+            ("3", "de", "P"), ("4", "le", "L"), ("5", "x", "V")]
+
+
+def _conllu_pos(sentences):
+    out = []
+    for sent in sentences:
+        for tid, form, upos in sent:
+            mw = "-" in str(tid)
+            cols = [str(tid), form, "_", "_" if mw else upos, "_", "_",
+                    "_" if mw else "0", "_" if mw else "dep", "_", "_"]
+            out.append("\t".join(cols))
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+def _pos_df(spark, sent, doc="d0"):  # noqa: F811
+    span_rows = _rows_from_conllu_sent([(t, f) for (t, f, _u) in sent])
+    upos = [u for (t, f, u) in sent if "-" not in str(t)]
+    rows = [(doc, 0, tid, w, s, e, mw, upos[tid - 1])
+            for (tid, w, s, e, mw) in span_rows]
+    return spark.createDataFrame(
+        rows, "doc_id string, sent_id int, token_id int, word string, "
+              "span_start int, span_end int, is_multiword boolean, "
+              "upos string")
+
+
+@pytest.mark.parametrize("sys_sent", [SYSA_POS, SYSB_POS])
+def test_aligned_upos_matches_reference_module(spark, sys_sent):  # noqa: F811
+    """aligned_field_score must reproduce the reference evaluator's
+    "UPOS" Score counts on MWT fixtures."""
+    import io
+    from phonlp_spark.ops.alignment import aligned_field_score
+
+    ud = _load_reference_udeval()
+    gold_ud = ud.load_conllu(io.StringIO(_conllu_pos([GOLD_POS])))
+    sys_ud = ud.load_conllu(io.StringIO(_conllu_pos([sys_sent])))
+    want = ud.evaluate(gold_ud, sys_ud)["UPOS"]
+
+    got = aligned_field_score(_pos_df(spark, GOLD_POS),
+                              _pos_df(spark, sys_sent)).collect()[0]
+    assert got["n_gold"] == want.gold_total
+    assert got["n_system"] == want.system_total
+    assert got["n_aligned"] == want.aligned_total
+    assert got["n_correct"] == want.correct
+    assert got["precision_permille"] == int(want.precision * 1000)
+    assert got["recall_permille"] == int(want.recall * 1000)

@@ -655,6 +655,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_user_rank"] = events_user_rank
 
+    def events_sessions(s, d):
+        """Gap-based sessionization: a user's events split into
+        sessions wherever the inter-event gap exceeds 30 minutes
+        (lag + cumulative sum of gap-breaks over the per-user window —
+        the standard scale shape: one shuffle by user_id, then
+        window-local arithmetic).  Output: one row per session."""
+        from pyspark.sql.window import Window
+        # exact integer microseconds; the NTZ->timestamp cast shifts by
+        # a constant tz offset, which cancels in every output (gaps,
+        # session breaks and durations are all differences)
+        e = _table(s, d, "events").withColumn(
+            "us", F.unix_micros(F.col("ts").cast("timestamp")))
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        gap = F.col("us") - F.lag("us").over(w)
+        brk = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        sess = (e.withColumn("brk", brk)
+                .withColumn("session_no",
+                            F.sum("brk").over(
+                                w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (sess.groupBy("user_id", "session_no")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("event_id").alias("first_event"),
+                     F.expr("(max(us) - min(us)) DIV 1000000")
+                     .alias("duration_sec"))
+                .select(F.col("user_id").cast("bigint").alias("user_id"),
+                        F.col("session_no").cast("int").alias("session_no"),
+                        F.col("n_events").cast("bigint").alias("n_events"),
+                        F.col("first_event").cast("bigint").alias("first_event"),
+                        F.col("duration_sec").cast("bigint")
+                        .alias("duration_sec")))
+    q["events_sessions"] = events_sessions
+
+    def events_cube(s, d):
+        """CUBE over (event_type, hour-of-day): every grouping-set
+        combination incl. grand total; null dimensions surface as
+        'ALL' / -1 so both engines hash the same rows."""
+        e = _table(s, d, "events")
+        base = e.select("event_type",
+                        F.hour("ts").cast("int").alias("hod"),
+                        F.round(F.col("value") * 100).cast("bigint")
+                        .alias("cents"))
+        return (base.cube("event_type", "hod")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("cents").alias("sum_value_x100"))
+                .select(F.coalesce("event_type", F.lit("ALL"))
+                        .alias("event_type"),
+                        F.coalesce("hod", F.lit(-1)).cast("int").alias("hod"),
+                        "n", "sum_value_x100"))
+    q["events_cube"] = events_cube
+
     def events_hourly(s, d):
         e = _table(s, d, "events")
         return (
@@ -1535,6 +1585,39 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id, rank FROM r WHERE rank <= 3"""
+
+    o["events_sessions"] = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+), b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM o
+), sn AS (
+  SELECT user_id, event_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_no AS INT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM sn GROUP BY user_id, session_no"""
+
+    o["events_cube"] = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(hod, -1) AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_value_x100
+FROM (SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+GROUP BY CUBE (event_type, hod)"""
 
     o["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

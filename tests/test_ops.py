@@ -348,3 +348,29 @@ def test_embedding_near_dup_candidates_improve(spark):  # noqa: F811
     assert len(multi) >= len(single)
     assert len(ivf) >= len(multi)
     assert exact  # the fixture actually contains near-dups
+
+
+def test_events_sessionization_rule(spark):  # noqa: F811
+    """30-minute gap rule on a hand-computed fixture: sessions split
+    exactly at gaps > 1800s, per user, ordered by event time."""
+    import datetime as dt
+    import __spark_entry__ as entry
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 0.0, ""),                                  # u7 s1
+        (2, t0 + dt.timedelta(minutes=29), 7, "a", 0.0, ""),       # u7 s1
+        (3, t0 + dt.timedelta(minutes=61), 7, "a", 0.0, ""),       # u7 s2 (32m gap)
+        (4, t0, 9, "a", 0.0, ""),                                  # u9 s1
+        (5, t0 + dt.timedelta(minutes=31), 9, "a", 0.0, ""),       # u9 s2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r["user_id"], r["session_no"]): (r["n_events"], r["first_event"],
+                                             r["duration_sec"])
+           for r in entry.queries()["events_sessions"](spark, d).collect()}
+    assert got == {(7, 1): (2, 1, 1740), (7, 2): (1, 3, 0),
+                   (9, 1): (1, 4, 0), (9, 2): (1, 5, 0)}

@@ -91,6 +91,25 @@ def _alias_names(spark: SparkSession, sf_dir: str) -> list[str]:
     return [r["text"].replace(" ", "_") for r in rows]
 
 
+_CENTS_CACHE: dict[str, list] = {}
+
+
+def _trained_cents(spark: SparkSession, sf_dir: str) -> list:
+    """Default-parameter k-means centroid rows, memoized per sf_dir.
+
+    Four queries() entries compose trained-IVF operators over the same
+    embeddings table; without this the identical deterministic fit
+    would re-run once per operator (ADVICE r3).  The fit is
+    partitioning-invariant integer arithmetic, so caching by input dir
+    is exact, not approximate.
+    """
+    if sf_dir not in _CENTS_CACHE:
+        from phonlp_spark.ops.similarity import trained_centroids_rows
+        _CENTS_CACHE[sf_dir] = trained_centroids_rows(
+            _table(spark, sf_dir, "embeddings"))
+    return _CENTS_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -233,7 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return row.agg(
             F.count(F.lit(1)).alias("n_sentences"),
             F.countDistinct("tok").alias("n_distinct_tokens"),
-            F.countDistinct(F.concat_ws("", "tok", "u", "n", "r"))
+            F.countDistinct(F.struct("tok", "u", "n", "r"))
             .alias("n_tag_combos"),
             F.sum((F.col("h") == 0).cast("long")).alias("n_head_root"),
             F.sum(F.col("u").isin(*POS_TAGS).cast("long")).alias("n_valid_upos"),
@@ -287,6 +306,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_text_mismatch", "n_bad_type", "n_triples",
             "n_inconsistent_tokens")
     q["kg_mentions_degenerate"] = kg_mentions_degenerate
+
+    def kg_triples_degenerate(s, d):
+        """Triple-extraction plumbing under closed-form oracle
+        invariants (VERDICT r3 #4): feed each sentence's first TWO
+        (distinct) tokens through the real kernel stage.  With exactly
+        two tokens there is exactly one in-sentence dependency arc, so
+        the predicate-frame rule (needs two dependents) can never fire
+        and the nmod rule fires at most once — every sentence yields 0
+        or 1 triples, and any emitted triple must be
+        (token, 'nmod', other-token) with NER-typed args from two
+        distinct mentions (kernel/triples.py:74-87).  Determinism: the
+        encoder sees only the pair, so triple behavior is a pure
+        function of (t1, t2).  Every violation column's oracle value is
+        the constant 0; anchors (n_sentences, n_distinct_pairs) come
+        from the input side only."""
+        from phonlp_spark.kernel.vocab import NER_TYPES
+        from phonlp_spark.pipeline.annotate import annotate_sentences_df
+        toks = F.split("sentence", " ")
+        pairs = (_sentences(s, d)
+                 .filter(F.size(toks) >= 2)
+                 .select(F.col("doc_id").cast("string").alias("doc_id"),
+                         F.col("sent_id").alias("span_idx"), "sent_id",
+                         F.slice(toks, 1, 2).alias("tokens"))
+                 .filter(F.col("tokens")[0] != F.col("tokens")[1]))
+        ann = annotate_sentences_df(
+            pairs, columns=("tokens", "mentions", "triples"))
+        rows = ann.select(
+            F.col("tokens")[0].alias("t1"), F.col("tokens")[1].alias("t2"),
+            F.size("mentions").alias("nm"), F.size("triples").alias("nt"),
+            F.get("triples", 0).alias("tr"))
+        per_pair = (
+            rows.groupBy("t1", "t2")
+            .agg(F.countDistinct(F.struct(
+                (F.col("nt") > 0).alias("has"),
+                F.coalesce(F.col("tr.subj"), F.lit("")).alias("sj"),
+                F.coalesce(F.col("tr.obj"), F.lit("")).alias("ob")))
+                .alias("variants"))
+            .agg(F.coalesce(F.sum((F.col("variants") > 1).cast("long")),
+                            F.lit(0)).alias("n_inconsistent_pairs"),
+                 F.count(F.lit(1)).alias("n_distinct_pairs")))
+        in_pair = ((F.col("tr.subj") == F.col("t1"))
+                   | (F.col("tr.subj") == F.col("t2"))) & \
+                  ((F.col("tr.obj") == F.col("t1"))
+                   | (F.col("tr.obj") == F.col("t2")))
+        agg = rows.agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.coalesce(F.sum((F.col("nt") > 1).cast("long")), F.lit(0))
+            .alias("n_multi_triple"),
+            F.coalesce(F.sum(((F.col("nt") > 0) & (F.col("nm") < 2))
+                             .cast("long")), F.lit(0))
+            .alias("n_triple_wo_mentions"),
+            F.coalesce(F.sum(((F.col("nt") > 0) & (
+                (F.col("tr.pred") != "nmod") | (F.col("tr.rule") != "nmod")))
+                .cast("long")), F.lit(0)).alias("n_bad_pred"),
+            F.coalesce(F.sum(((F.col("nt") > 0) & (
+                ~in_pair | (F.col("tr.subj") == F.col("tr.obj"))))
+                .cast("long")), F.lit(0)).alias("n_bad_args"),
+            F.coalesce(F.sum(((F.col("nt") > 0) & (
+                ~F.col("tr.subj_type").isin(*NER_TYPES)
+                | ~F.col("tr.obj_type").isin(*NER_TYPES)))
+                .cast("long")), F.lit(0)).alias("n_bad_type"))
+        return agg.crossJoin(per_pair).select(
+            "n_sentences", "n_multi_triple", "n_triple_wo_mentions",
+            "n_bad_pred", "n_bad_args", "n_bad_type",
+            "n_inconsistent_pairs", "n_distinct_pairs")
+    q["kg_triples_degenerate"] = kg_triples_degenerate
+
+    def kg_edges_integrity(s, d):
+        """Referential-integrity gate over the materialized graph
+        (VERDICT r3 #4): every edge endpoint must resolve to a node,
+        every id must carry the content-derived format
+        ('E'|'X' + 12 hex, linking.py:62,161), node ids must be unique
+        and canonicals non-null.  All violation columns oracle to the
+        constant 0; the anchor (n_docs) comes from the input table."""
+        from phonlp_spark.pipeline.annotate import mentions_df, triples_df
+        from phonlp_spark.pipeline.linking import build_alias_dict
+        from phonlp_spark.pipeline.materialize import build_graph
+        ann = _annotated(s, d).cache()
+        men = mentions_df(ann).cache()
+        alias = build_alias_dict(s, _alias_names(s, d))
+        _l, nodes, edges = build_graph(men, triples_df(ann), alias)
+        nodes = nodes.cache()
+        id_re = "^[EX][0-9a-f]{12}$"
+        nid = nodes.select("entity_id")
+        subj_missing = (edges.join(nid, edges["subj_id"] == nid["entity_id"],
+                                   "left_anti")
+                        .agg(F.count(F.lit(1)).alias("n_subj_missing")))
+        obj_missing = (edges.join(nid, edges["obj_id"] == nid["entity_id"],
+                                  "left_anti")
+                       .agg(F.count(F.lit(1)).alias("n_obj_missing")))
+        node_checks = nodes.agg(
+            F.coalesce(F.sum((~F.col("entity_id").rlike(id_re))
+                             .cast("long")), F.lit(0)).alias("n_bad_entity_id"),
+            F.coalesce(F.sum(F.col("canonical").isNull().cast("long")),
+                       F.lit(0)).alias("n_null_canonical"))
+        dup = (nodes.groupBy("entity_id").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.coalesce(F.sum((F.col("c") > 1).cast("long")), F.lit(0))
+                    .alias("n_dup_entity")))
+        edge_ids = edges.agg(
+            F.coalesce(F.sum((~F.col("subj_id").rlike(id_re)
+                              | ~F.col("obj_id").rlike(id_re)).cast("long")),
+                       F.lit(0)).alias("n_bad_edge_id"))
+        n_docs = _docs(s, d).agg(F.count(F.lit(1)).alias("n_docs"))
+        return (n_docs.crossJoin(subj_missing).crossJoin(obj_missing)
+                .crossJoin(node_checks).crossJoin(dup).crossJoin(edge_ids))
+    q["kg_edges_integrity"] = kg_edges_integrity
 
     # ---- scoring as aggregates (SURVEY §2.4) ----
     def _pred_gold(s, d):
@@ -429,12 +554,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d), min_pct=5)
     q["dedup_minhash_sigs"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
-    q["dedup_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d))
-    # production-sized sketch: 32 minhashes in 8 bands of 4 (the
-    # parameters a real corpus would use; same code path, same oracle
-    # generator — proves the constants are not baked in)
-    q["dedup_lsh_pairs_wide"] = lambda s, d: dedup.lsh_candidate_pairs(
-        _docs(s, d), n_minhash=32, band=4)
+    def dedup_lsh_pairs(s, d):
+        """MinHash/LSH banding candidates at TWO parameterizations in
+        one hash-checked table: 'base' = the sandbox sketch (8 hashes,
+        4 bands of 2), 'wide' = the production-sized sketch (32 hashes,
+        8 bands of 4) — same code path, same oracle generator, proving
+        the sketch constants are arguments, not baked in.  (Merged from
+        the r3 dedup_lsh_pairs / dedup_lsh_pairs_wide entries: the
+        driver gate sweeps at most 50 queries() entries, so parameter
+        variants share one entry via a variant tag.)"""
+        base = dedup.lsh_candidate_pairs(_docs(s, d)) \
+            .select(F.lit("base").alias("variant"), "a", "b")
+        wide = dedup.lsh_candidate_pairs(_docs(s, d), n_minhash=32, band=4) \
+            .select(F.lit("wide").alias("variant"), "a", "b")
+        return base.unionByName(wide)
+    q["dedup_lsh_pairs"] = dedup_lsh_pairs
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
         _docs(s, d), max_hamming=3, n_bands=4, bits=32)
@@ -443,124 +577,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
         _docs(s, d), min_pct=5)
 
-    def dedup_recall(s, d):
-        """Candidate-generation recall of the composed path: verified
-        pairs are a subset of the exact-Jaccard pairs by construction,
-        so recall = |verified| / |exact| — the dedup twin of
-        ann_recall."""
-        hits = dedup.lsh_verified_pairs(_docs(s, d), min_pct=5) \
-            .agg(F.count(F.lit(1)).alias("hits"))
-        total = dedup.jaccard_pairs(_docs(s, d), min_pct=5) \
-            .agg(F.count(F.lit(1)).alias("total"))
-        return (hits.crossJoin(total)
-                .select(F.col("hits").cast("bigint").alias("hits"),
-                        F.col("total").cast("bigint").alias("total"),
-                        F.expr("CAST(hits * 1000 DIV greatest(total, 1) AS INT)")
-                        .alias("recall_permille")))
-    q["dedup_recall"] = dedup_recall
+    # embedding-cosine near-dup (dedup family member): LSH-bucketed /
+    # OR-amplified / trained-IVF candidates, exact-cosine threshold
+    # (300 fits the synthetic embeddings' similarity range; production
+    # uses ~950), all three variants in one hash-checked table
+    def dedup_embedding(s, d):
+        emb = _table(s, d, "embeddings")
+        out = None
+        for m, df in (
+                ("lsh_p4", similarity.embedding_near_dups(
+                    emb, min_cos_x1000=300)),
+                ("lsh_multi", similarity.embedding_near_dups_multi(
+                    emb, min_cos_x1000=300)),
+                ("ivf_trained", similarity.embedding_near_dups_ivf(
+                    emb, min_cos_x1000=300,
+                    cents_rows=_trained_cents(s, d)))):
+            df = df.select(F.lit(m).alias("variant"), "a", "b", "cos_x1000")
+            out = df if out is None else out.unionByName(df)
+        return out
+    q["dedup_embedding"] = dedup_embedding
 
     # ---- similarity search ----
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
     q["ann_lsh_buckets"] = lambda s, d: similarity.lsh_buckets(
         _table(s, d, "embeddings"))
-    q["ann_lsh_topk"] = lambda s, d: similarity.ann_topk_lsh(
-        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
-    q["ann_lsh_topk_wide"] = lambda s, d: similarity.ann_topk_lsh(
-        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5, planes=6)
-    q["ann_ivf_cells"] = lambda s, d: similarity.ivf_cells(
-        _table(s, d, "embeddings"))
-    q["ann_ivf_topk"] = lambda s, d: similarity.ann_topk_ivf(
-        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5)
-    # trained IVF: in-engine integer-quantized k-means (deterministic,
-    # oracle-mirrored) + multi-cell probing — the production index the
-    # seeded variant stands in for
-    q["ann_lsh_topk_multi"] = lambda s, d: similarity.ann_topk_lsh_multi(
-        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5,
-        n_tables=4, planes=6)
-    q["ann_ivf_cells_trained"] = lambda s, d: similarity.ivf_cells_trained(
-        _table(s, d, "embeddings"))
-    q["ann_ivf_topk_trained"] = lambda s, d: similarity.ann_topk_ivf_trained(
-        _table(s, d, "embeddings"), query_ids=list(range(10)), k=5, n_probe=2)
 
-    def ann_recall(s, d):
-        # retrieval QUALITY of every approximate variant vs the exact
-        # top-k ground truth — the recall@k gate VERDICT r2 asked for
+    def ann_lsh_topk(s, d):
+        """Hyperplane-LSH ANN top-k, three parameterizations in one
+        table: 'p4' (4 planes), 'p6' (6 planes — production bucket
+        granularity), 'multi' (4 tables x 6 planes, OR-amplified)."""
         emb = _table(s, d, "embeddings")
         qids = list(range(10))
-        exact = similarity.cosine_topk(emb, qids, k=5)
-        variants = [
-            ("lsh_p4", similarity.ann_topk_lsh(emb, qids, k=5)),
-            ("lsh_p6", similarity.ann_topk_lsh(emb, qids, k=5, planes=6)),
-            ("ivf_seeded", similarity.ann_topk_ivf(emb, qids, k=5)),
-            ("lsh_multi", similarity.ann_topk_lsh_multi(
-                emb, qids, k=5, n_tables=4, planes=6)),
-            ("ivf_trained", similarity.ann_topk_ivf_trained(
-                emb, qids, k=5, n_probe=2)),
-        ]
         out = None
-        for m, df in variants:
-            row = similarity.recall_vs_exact(exact, df, m)
-            out = row if out is None else out.unionAll(row)
+        for m, df in (
+                ("p4", similarity.ann_topk_lsh(emb, qids, k=5)),
+                ("p6", similarity.ann_topk_lsh(emb, qids, k=5, planes=6)),
+                ("multi", similarity.ann_topk_lsh_multi(
+                    emb, qids, k=5, n_tables=4, planes=6))):
+            df = df.select(F.lit(m).alias("variant"),
+                           "query_id", "neighbor_id", "rank")
+            out = df if out is None else out.unionByName(df)
         return out
-    q["ann_recall"] = ann_recall
-    # embedding-cosine near-dup (dedup family member): LSH-bucketed
-    # candidates, exact-cosine threshold (300 fits the synthetic
-    # embeddings' similarity range; production uses ~950)
-    q["dedup_embedding"] = lambda s, d: similarity.embedding_near_dups(
-        _table(s, d, "embeddings"), min_cos_x1000=300)
+    q["ann_lsh_topk"] = ann_lsh_topk
 
-    q["dedup_embedding_multi"] = lambda s, d: similarity.embedding_near_dups_multi(
-        _table(s, d, "embeddings"), min_cos_x1000=300)
-    q["dedup_embedding_ivf"] = lambda s, d: similarity.embedding_near_dups_ivf(
-        _table(s, d, "embeddings"), min_cos_x1000=300)
-
-    def dedup_embedding_recall(s, d):
-        """Candidate recall of the embedding near-dup variants vs the
-        brute-force threshold pairs (the exact side exists only as a
-        measurement denominator — production never runs it)."""
+    # IVF: 'seeded' = literal seeded centroids; 'trained' = in-engine
+    # integer-quantized k-means (deterministic, oracle-mirrored) — the
+    # production index the seeded variant stands in for
+    def ann_ivf_cells(s, d):
         emb = _table(s, d, "embeddings")
+        seeded = similarity.ivf_cells(emb) \
+            .select(F.lit("seeded").alias("variant"), "vec_id", "cell")
+        trained = similarity.ivf_cells_trained(
+            emb, cents_rows=_trained_cents(s, d)) \
+            .select(F.lit("trained").alias("variant"), "vec_id", "cell")
+        return seeded.unionByName(trained)
+    q["ann_ivf_cells"] = ann_ivf_cells
+
+    def ann_ivf_topk(s, d):
+        emb = _table(s, d, "embeddings")
+        qids = list(range(10))
+        seeded = similarity.ann_topk_ivf(emb, qids, k=5) \
+            .select(F.lit("seeded").alias("variant"),
+                    "query_id", "neighbor_id", "rank")
+        trained = similarity.ann_topk_ivf_trained(
+            emb, qids, k=5, n_probe=2, cents_rows=_trained_cents(s, d)) \
+            .select(F.lit("trained").alias("variant"),
+                    "query_id", "neighbor_id", "rank")
+        return seeded.unionByName(trained)
+    q["ann_ivf_topk"] = ann_ivf_topk
+
+    def quality_recall(s, d):
+        """EVERY candidate-generation / retrieval recall gate in one
+        hash-checked table (family, method, hits, total,
+        recall_permille):
+
+        - family 'ann': recall@5 of each approximate ANN variant vs the
+          exact cosine top-k (the r2-verdict retrieval-quality gate);
+        - family 'dedup_text': the composed LSH->exact-Jaccard path vs
+          the full exact-Jaccard pair set (subset by construction);
+        - family 'dedup_embedding': each near-dup candidate generator
+          vs the brute-force threshold pairs (the exact sides exist
+          only as measurement denominators — production never runs
+          them).
+        """
+        emb = _table(s, d, "embeddings")
+        qids = list(range(10))
+        cents = _trained_cents(s, d)
+        exact = similarity.cosine_topk(emb, qids, k=5)
+        out = None
+        for m, df in (
+                ("lsh_p4", similarity.ann_topk_lsh(emb, qids, k=5)),
+                ("lsh_p6", similarity.ann_topk_lsh(emb, qids, k=5, planes=6)),
+                ("ivf_seeded", similarity.ann_topk_ivf(emb, qids, k=5)),
+                ("lsh_multi", similarity.ann_topk_lsh_multi(
+                    emb, qids, k=5, n_tables=4, planes=6)),
+                ("ivf_trained", similarity.ann_topk_ivf_trained(
+                    emb, qids, k=5, n_probe=2, cents_rows=cents))):
+            row = similarity.recall_vs_exact(exact, df, m) \
+                .select(F.lit("ann").alias("family"), "*")
+            out = row if out is None else out.unionByName(row)
+
+        hits = dedup.lsh_verified_pairs(_docs(s, d), min_pct=5) \
+            .agg(F.count(F.lit(1)).alias("hits"))
+        total = dedup.jaccard_pairs(_docs(s, d), min_pct=5) \
+            .agg(F.count(F.lit(1)).alias("total"))
+        out = out.unionByName(
+            hits.crossJoin(total).select(
+                F.lit("dedup_text").alias("family"),
+                F.lit("lsh_verified").alias("method"),
+                F.col("hits").cast("bigint").alias("hits"),
+                F.col("total").cast("bigint").alias("total"),
+                F.expr("CAST(hits * 1000 DIV greatest(total, 1) AS INT)")
+                .alias("recall_permille")))
+
         left = emb.select(F.col("vec_id").alias("a"),
                           F.col("embedding").alias("va"))
         right = emb.select(F.col("vec_id").alias("b"),
                            F.col("embedding").alias("vb"))
         cos = similarity.dot(F.col("va"), F.col("vb")) / (
             similarity.norm(F.col("va")) * similarity.norm(F.col("vb")))
-        exact = (left.join(right, F.col("a") < F.col("b"))
-                 .filter(F.round(cos * 1000) >= 300))
-        total = exact.agg(F.count(F.lit(1)).alias("total"))
-        out = None
+        e_total = (left.join(right, F.col("a") < F.col("b"))
+                   .filter(F.round(cos * 1000) >= 300)
+                   .agg(F.count(F.lit(1)).alias("total")))
         for m, appr in (
                 ("lsh_p4", similarity.embedding_near_dups(
                     emb, min_cos_x1000=300)),
                 ("lsh_multi", similarity.embedding_near_dups_multi(
                     emb, min_cos_x1000=300)),
                 ("ivf_trained", similarity.embedding_near_dups_ivf(
-                    emb, min_cos_x1000=300))):
+                    emb, min_cos_x1000=300, cents_rows=cents))):
             row = (appr.agg(F.count(F.lit(1)).alias("hits"))
-                   .crossJoin(total)
-                   .select(F.lit(m).alias("method"),
+                   .crossJoin(e_total)
+                   .select(F.lit("dedup_embedding").alias("family"),
+                           F.lit(m).alias("method"),
                            F.col("hits").cast("bigint").alias("hits"),
                            F.col("total").cast("bigint").alias("total"),
                            F.expr("CAST(hits * 1000 DIV greatest(total, 1)"
                                   " AS INT)").alias("recall_permille")))
-            out = row if out is None else out.unionAll(row)
+            out = out.unionByName(row)
         return out
-    q["dedup_embedding_recall"] = dedup_embedding_recall
+    q["quality_recall"] = quality_recall
 
     # ---- text analysis ----
-    q["text_token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d)).select(
-        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
-        F.col("n_chars").cast("bigint").alias("n_chars"))
-    q["text_quality"] = lambda s, d: textstats.quality_score(_docs(s, d)).select(
-        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        "avg_token_len_x100", "stopword_permille", "punct_permille",
-        "ttr_permille", F.col("n_stopword_types").cast("bigint").alias("n_stopword_types"))
-    q["text_langid"] = lambda s, d: textstats.lang_id(_docs(s, d)).select(
-        "doc_id", "lang_pred", F.col("en_hits").cast("bigint").alias("en_hits"),
-        F.col("vi_hits").cast("bigint").alias("vi_hits"))
-    q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
+    # one-pass doc profile (token stats + quality + langid +
+    # fingerprint; single scan, zero shuffles — see textstats.profile)
+    q["text_profile"] = lambda s, d: textstats.profile(_docs(s, d))
     q["text_len_percentiles"] = lambda s, d: textstats.length_percentiles(
         _docs(s, d))
 
@@ -662,9 +824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the standard scale shape: one shuffle by user_id, then
         window-local arithmetic).  Output: one row per session."""
         from pyspark.sql.window import Window
-        # exact integer microseconds; the NTZ->timestamp cast shifts by
-        # a constant tz offset, which cancels in every output (gaps,
-        # session breaks and durations are all differences)
+        # exact integer microseconds, tz-free: the session timezone is
+        # pinned to UTC (pipeline/session.py), so the NTZ->timestamp
+        # cast is the identity on the epoch value — same integers as
+        # the oracle's epoch_us(ts) in every zone, DST included
         e = _table(s, d, "events").withColumn(
             "us", F.unix_micros(F.col("ts").cast("timestamp")))
         w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -706,13 +869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cube"] = events_cube
 
     def events_hourly(s, d):
+        # no display orderBy: the driver compares order-insensitively
+        # and a global sort of the grouped output would only add a
+        # measured exchange to the benched plan (VERDICT r3 #8)
         e = _table(s, d, "events")
         return (
             e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
                  .alias("sum_value_x100"))
-            .orderBy("hour", "event_type")
         )
     q["events_hourly"] = events_hourly
 
@@ -755,8 +920,10 @@ SELECT key, CAST({recombine} AS BIGINT) AS simhash FROM agg
 
 
 def _simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4,
-                       bits: int | None = None) -> str:
-    """Banded SimHash near-dup pairs (mirrors ops.dedup.simhash_pairs)."""
+                       bits: int | None = None,
+                       max_bucket_size: int = 100_000) -> str:
+    """Banded SimHash near-dup pairs (mirrors ops.dedup.simhash_pairs,
+    hot-bucket cap included)."""
     from phonlp_spark.ops.dedup import SIMHASH_BITS
     bits = bits or SIMHASH_BITS
     width = bits // n_bands
@@ -767,7 +934,11 @@ def _simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4,
         for b in range(n_bands))
     return f"""
 WITH sig AS ({_simhash_sql(bits)}),
-bands AS ({bands}),
+bands0 AS ({bands}),
+bhot AS (SELECT band, chunk FROM bands0 GROUP BY band, chunk
+         HAVING count(*) > {max_bucket_size}),
+bands AS (SELECT b.* FROM bands0 b WHERE NOT EXISTS
+          (SELECT 1 FROM bhot h WHERE h.band = b.band AND h.chunk = b.chunk)),
 cand AS (
   SELECT DISTINCT l.key AS a, r.key AS b, l.simhash AS sa, r.simhash AS sb
   FROM bands l JOIN bands r ON l.band = r.band AND l.chunk = r.chunk
@@ -1258,6 +1429,41 @@ SELECT CAST(count(*) AS BIGINT) AS n_sentences,
        CAST(0 AS BIGINT) AS n_inconsistent_tokens
 FROM s"""
 
+    # closed forms for 2-token sentences (see the queries() docstring):
+    # one in-sentence arc ==> <=1 triple, always the nmod rule, args
+    # drawn from the pair, per-pair deterministic — every violation
+    # column is the constant 0, anchors are input-side counts
+    o["kg_triples_degenerate"] = _SENT_SQL + """
+, p AS (
+  SELECT string_split(sentence, ' ')[1] AS t1,
+         string_split(sentence, ' ')[2] AS t2
+  FROM s
+  WHERE len(string_split(sentence, ' ')) >= 2
+    AND string_split(sentence, ' ')[1] <> string_split(sentence, ' ')[2]
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(0 AS BIGINT) AS n_multi_triple,
+       CAST(0 AS BIGINT) AS n_triple_wo_mentions,
+       CAST(0 AS BIGINT) AS n_bad_pred,
+       CAST(0 AS BIGINT) AS n_bad_args,
+       CAST(0 AS BIGINT) AS n_bad_type,
+       CAST(0 AS BIGINT) AS n_inconsistent_pairs,
+       CAST(count(DISTINCT t1 || chr(31) || t2) AS BIGINT) AS n_distinct_pairs
+FROM p"""
+
+    # graph referential integrity: all violation counts are 0 by the
+    # build_graph construction (triple args ARE mention surfaces, so
+    # every canonical_id surfaces in nodes; ids are 'E'/'X' + md5[:12])
+    o["kg_edges_integrity"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_subj_missing,
+       CAST(0 AS BIGINT) AS n_obj_missing,
+       CAST(0 AS BIGINT) AS n_bad_entity_id,
+       CAST(0 AS BIGINT) AS n_null_canonical,
+       CAST(0 AS BIGINT) AS n_dup_entity,
+       CAST(0 AS BIGINT) AS n_bad_edge_id
+FROM documents"""
+
     o["dedup_exact"] = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
 FROM documents GROUP BY md5(text)"""
@@ -1282,17 +1488,14 @@ FROM pairs JOIN sz na ON na.key = a JOIN sz nb ON nb.key = b
 WHERE 100 * common >= 5 * (na.sz + nb.sz - common)"""
 
     o["dedup_minhash_sigs"] = _minhash_sql(with_pairs=False)
-    o["dedup_lsh_pairs"] = _minhash_sql(with_pairs=True)
-    o["dedup_lsh_pairs_wide"] = _minhash_sql(with_pairs=True, n_minhash=32, band=4)
+    o["dedup_lsh_pairs"] = f"""
+SELECT 'base' AS variant, a, b FROM ({_minhash_sql(with_pairs=True)})
+UNION ALL
+SELECT 'wide' AS variant, a, b
+FROM ({_minhash_sql(with_pairs=True, n_minhash=32, band=4)})"""
     o["dedup_simhash"] = _simhash_sql()
     o["dedup_simhash_pairs"] = _simhash_pairs_sql(max_hamming=3, n_bands=4, bits=32)
     o["dedup_lsh_verified"] = _lsh_verified_sql(min_pct=5)
-    o["dedup_recall"] = f"""
-SELECT CAST((SELECT count(*) FROM ({_lsh_verified_sql(min_pct=5)})) AS BIGINT) AS hits,
-       CAST((SELECT count(*) FROM ({o['dedup_jaccard']})) AS BIGINT) AS total,
-       CAST((SELECT count(*) FROM ({_lsh_verified_sql(min_pct=5)})) * 1000
-            // greatest((SELECT count(*) FROM ({o['dedup_jaccard']})), 1) AS INT)
-       AS recall_permille"""
 
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -1311,14 +1514,12 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
     o["ann_lsh_buckets"] = f"""
 SELECT vec_id, CAST({_lsh_bucket_expr()} AS INT) AS bucket FROM embeddings"""
 
-    o["ann_lsh_topk"] = f"""
+    _lsh_p4_sql = f"""
 WITH b AS (SELECT vec_id, CAST({_lsh_bucket_expr()} AS INT) AS bucket, embedding FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+         {_COS.format(a='q.qvec', b='e.embedding')} AS cos
   FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
 ),
 r AS (SELECT query_id, neighbor_id,
@@ -1326,33 +1527,13 @@ r AS (SELECT query_id, neighbor_id,
       FROM scored)
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
 
-    o["ann_lsh_topk_wide"] = f"""
+    _lsh_p6_sql = f"""
 WITH b AS (SELECT vec_id, CAST({_lsh_bucket_expr(planes=6)} AS INT) AS bucket, embedding FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+         {_COS.format(a='q.qvec', b='e.embedding')} AS cos
   FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
-),
-r AS (SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-      FROM scored)
-SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
-
-    o["ann_ivf_cells"] = f"""
-SELECT vec_id, CAST({_ivf_cell_expr()} AS INT) AS cell FROM embeddings"""
-
-    o["ann_ivf_topk"] = f"""
-WITH b AS (SELECT vec_id, CAST({_ivf_cell_expr()} AS INT) AS cell, embedding FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qvec, cell FROM b WHERE vec_id < 10),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
-  FROM b e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
 ),
 r AS (SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
@@ -1360,12 +1541,18 @@ r AS (SELECT query_id, neighbor_id,
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
 
     _lm_ctes, _lm_top = _lsh_multi_ctes("lm", n_tables=4, planes=6)
-    o["ann_lsh_topk_multi"] = (
-        "WITH " + ",\n".join(_lm_ctes)
-        + f"\nSELECT query_id, neighbor_id, rank FROM {_lm_top}")
+    _lsh_multi_sql = ("WITH " + ",\n".join(_lm_ctes)
+                      + f"\nSELECT query_id, neighbor_id, rank FROM {_lm_top}")
+
+    o["ann_lsh_topk"] = f"""
+SELECT 'p4' AS variant, * FROM ({_lsh_p4_sql})
+UNION ALL
+SELECT 'p6' AS variant, * FROM ({_lsh_p6_sql})
+UNION ALL
+SELECT 'multi' AS variant, * FROM ({_lsh_multi_sql})"""
 
     _km_ctes, _km_fin = _kmeans_ctes()
-    o["ann_ivf_cells_trained"] = (
+    _ivf_cells_trained_sql = (
         "WITH " + ",\n".join(_km_ctes)
         + f""",
 cs AS (SELECT e.vec_id, c.cell, {_q_score('e.vq', 'c.cq')} AS score
@@ -1375,32 +1562,61 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell
       FROM cs)
 WHERE rn = 1""")
 
+    o["ann_ivf_cells"] = f"""
+SELECT 'seeded' AS variant, vec_id, CAST({_ivf_cell_expr()} AS INT) AS cell
+FROM embeddings
+UNION ALL
+SELECT 'trained' AS variant, vec_id, cell FROM ({_ivf_cells_trained_sql})"""
+
+    _ivf_seeded_topk_sql = f"""
+WITH b AS (SELECT vec_id, CAST({_ivf_cell_expr()} AS INT) AS cell, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, cell FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a='q.qvec', b='e.embedding')} AS cos
+  FROM b e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
+),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""
+
     _tr_ctes, _tr_top = _ivf_trained_ctes("km", n_probe=2, k=5, nq=10)
-    o["ann_ivf_topk_trained"] = (
+    _ivf_trained_topk_sql = (
         "WITH " + ",\n".join(_tr_ctes)
         + f"\nSELECT query_id, neighbor_id, rank FROM {_tr_top}")
 
-    o["ann_recall"] = _ann_recall_sql()
+    o["ann_ivf_topk"] = f"""
+SELECT 'seeded' AS variant, * FROM ({_ivf_seeded_topk_sql})
+UNION ALL
+SELECT 'trained' AS variant, * FROM ({_ivf_trained_topk_sql})"""
 
-    o["dedup_embedding"] = f"""
-WITH b AS (SELECT vec_id, CAST({_lsh_bucket_expr()} AS INT) AS bucket, embedding FROM embeddings),
+    # embedding near-dup variants, each with the hot-bucket cap
+    # mirrored (groups > 100000 rows leave candidate generation —
+    # never triggered at sandbox scale, mirrored for parity at any)
+    _embcos = _COS.format(a="l.embedding", b="r.embedding")
+    _emb_lsh_sql = f"""
+WITH b0 AS (SELECT vec_id, CAST({_lsh_bucket_expr()} AS INT) AS bucket, embedding FROM embeddings),
+bhot AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) > 100000),
+b AS (SELECT b0.* FROM b0 WHERE bucket NOT IN (SELECT bucket FROM bhot)),
 pairs AS (
-  SELECT l.vec_id AS a, r.vec_id AS b,
-         list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))) AS cos
+  SELECT l.vec_id AS a, r.vec_id AS b, {_embcos} AS cos
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
 SELECT a, b, CAST(round(cos * 1000) AS INT) AS cos_x1000
 FROM pairs WHERE round(cos * 1000) >= 300"""
 
-    _embcos = _COS.format(a="l.embedding", b="r.embedding")
     _mb_arms = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS table_id,"
         f" CAST({_lsh_bucket_expr(planes=6, seed=7 + t)} AS INT) AS bucket"
         f" FROM embeddings" for t in range(4))
-    o["dedup_embedding_multi"] = f"""
-WITH mb AS ({_mb_arms}),
+    _emb_multi_sql = f"""
+WITH mb0 AS ({_mb_arms}),
+mhot AS (SELECT table_id, bucket FROM mb0 GROUP BY table_id, bucket
+         HAVING count(*) > 100000),
+mb AS (SELECT m.* FROM mb0 m WHERE NOT EXISTS
+       (SELECT 1 FROM mhot h
+        WHERE h.table_id = m.table_id AND h.bucket = m.bucket)),
 cand AS (
   SELECT DISTINCT ml.vec_id AS a, mr.vec_id AS b
   FROM mb ml JOIN mb mr ON ml.table_id = mr.table_id AND ml.bucket = mr.bucket
@@ -1412,74 +1628,79 @@ JOIN embeddings r ON r.vec_id = c.b
 WHERE round(({_embcos}) * 1000) >= 300"""
 
     _ivfc_ctes, _ivfc_cells = _ivf_cells_ctes("km")
-    o["dedup_embedding_ivf"] = (
+    _emb_ivf_sql = (
         "WITH " + ",\n".join(_ivfc_ctes) + f""",
+chot AS (SELECT cell FROM {_ivfc_cells} GROUP BY cell
+         HAVING count(*) > 100000),
 ep AS (SELECT c.vec_id, c.cell, e.embedding FROM {_ivfc_cells} c
-       JOIN embeddings e ON e.vec_id = c.vec_id)
+       JOIN embeddings e ON e.vec_id = c.vec_id
+       WHERE c.cell NOT IN (SELECT cell FROM chot))
 SELECT l.vec_id AS a, r.vec_id AS b,
        CAST(round(({_embcos}) * 1000) AS INT) AS cos_x1000
 FROM ep l JOIN ep r ON l.cell = r.cell AND l.vec_id < r.vec_id
 WHERE round(({_embcos}) * 1000) >= 300""")
 
-    o["dedup_embedding_recall"] = f"""
-WITH exact AS (
-  SELECT l.vec_id AS a, r.vec_id AS b
+    o["dedup_embedding"] = f"""
+SELECT 'lsh_p4' AS variant, * FROM ({_emb_lsh_sql})
+UNION ALL
+SELECT 'lsh_multi' AS variant, * FROM ({_emb_multi_sql})
+UNION ALL
+SELECT 'ivf_trained' AS variant, * FROM ({_emb_ivf_sql})"""
+
+    o["quality_recall"] = f"""
+SELECT 'ann' AS family, method, hits, total, recall_permille
+FROM ({_ann_recall_sql()})
+UNION ALL
+SELECT 'dedup_text' AS family, 'lsh_verified' AS method,
+       CAST(v.c AS BIGINT) AS hits, CAST(j.c AS BIGINT) AS total,
+       CAST(v.c * 1000 // greatest(j.c, 1) AS INT) AS recall_permille
+FROM (SELECT count(*) AS c FROM ({_lsh_verified_sql(min_pct=5)})) v,
+     (SELECT count(*) AS c FROM ({o['dedup_jaccard']})) j
+UNION ALL
+SELECT 'dedup_embedding' AS family, m.method,
+       CAST(m.hits AS BIGINT) AS hits, CAST(tot.total AS BIGINT) AS total,
+       CAST(m.hits * 1000 // greatest(tot.total, 1) AS INT) AS recall_permille
+FROM (
+  SELECT 'lsh_p4' AS method,
+         (SELECT count(*) FROM ({_emb_lsh_sql})) AS hits
+  UNION ALL
+  SELECT 'lsh_multi' AS method,
+         (SELECT count(*) FROM ({_emb_multi_sql})) AS hits
+  UNION ALL
+  SELECT 'ivf_trained' AS method,
+         (SELECT count(*) FROM ({_emb_ivf_sql})) AS hits
+) m, (
+  SELECT count(*) AS total
   FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
   WHERE round(({_embcos}) * 1000) >= 300
-),
-appr1 AS ({o['dedup_embedding']}),
-apprm AS ({o['dedup_embedding_multi']}),
-appri AS ({o['dedup_embedding_ivf']}),
-m AS (
-  SELECT 'lsh_p4' AS method, (SELECT count(*) FROM appr1) AS hits
-  UNION ALL
-  SELECT 'lsh_multi' AS method, (SELECT count(*) FROM apprm) AS hits
-  UNION ALL
-  SELECT 'ivf_trained' AS method, (SELECT count(*) FROM appri) AS hits
-),
-tot AS (SELECT count(*) AS total FROM exact)
-SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
-       CAST(hits * 1000 // greatest(total, 1) AS INT) AS recall_permille
-FROM m, tot"""
-
-    o["text_token_stats"] = """
-SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars
-FROM documents"""
+) tot"""
 
     punct_sql = PUNCT_RE.replace("'", "''")
-    o["text_quality"] = f"""
-WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    o["text_profile"] = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                  string_split(lower(text), ' ') AS ltoks
+           FROM documents),
+c AS (SELECT doc_id, text, toks,
+             len(list_filter(ltoks, x -> list_contains({en_list}, x))) AS en_hits,
+             len(list_filter(ltoks, x -> list_contains({vi_list}, x))) AS vi_hits
+      FROM t)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
        CAST(length(replace(text, ' ', '')) * 100 // greatest(len(toks), 1) AS INT) AS avg_token_len_x100,
        CAST(len(list_filter(toks, x -> list_contains({stop_list}, x))) * 1000
             // greatest(len(toks), 1) AS INT) AS stopword_permille,
        CAST(len(list_filter(toks, x -> regexp_matches(x, '{punct_sql}'))) * 1000
             // greatest(len(toks), 1) AS INT) AS punct_permille,
        CAST(len(list_distinct(toks)) * 1000 // greatest(len(toks), 1) AS INT) AS ttr_permille,
-       CAST(len(list_intersect(list_distinct(toks), {stop_list})) AS BIGINT) AS n_stopword_types
-FROM t"""
-
-    o["text_langid"] = f"""
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-c AS (SELECT doc_id,
-             len(list_filter(toks, x -> list_contains({en_list}, x))) AS en_hits,
-             len(list_filter(toks, x -> list_contains({vi_list}, x))) AS vi_hits
-      FROM t)
-SELECT doc_id,
+       CAST(len(list_intersect(list_distinct(toks), {stop_list})) AS BIGINT) AS n_stopword_types,
        CASE WHEN en_hits > vi_hits AND en_hits > 0 THEN 'en'
             WHEN vi_hits > en_hits AND vi_hits > 0 THEN 'vi'
             ELSE 'unknown' END AS lang_pred,
-       CAST(en_hits AS BIGINT) AS en_hits, CAST(vi_hits AS BIGINT) AS vi_hits
-FROM c"""
-
-    o["text_fingerprint"] = """
-SELECT doc_id,
+       CAST(en_hits AS BIGINT) AS en_hits, CAST(vi_hits AS BIGINT) AS vi_hits,
        ('0x' || substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
-FROM documents"""
+FROM c"""
 
     o["text_len_percentiles"] = """
 WITH h AS (SELECT len(string_split(text, ' ')) AS len, count(*) AS cnt

@@ -87,13 +87,19 @@ def run_suite(master: str, sf_dir: str) -> dict:
     qs = entry.queries()
     headline = ["kg_sentences", "kg_vocab", "dedup_lsh_pairs", "dedup_jaccard",
                 "dedup_lsh_verified",
-                "ann_cosine_topk", "text_quality", "tpch_pricing",
+                "ann_cosine_topk", "text_profile", "tpch_pricing",
                 "tpch_top_customers", "events_hourly", "kg_components"]
     times: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
 
+    # one UNTIMED warmup: the first run after session start pays
+    # python-worker spawn + lazy guest-memory faulting + page-cache
+    # fill for every later query — measuring it as "warm run 1" is what
+    # made r3's kg series span 67/48/27 s (VERDICT r3 #3)
+    _kg_pipeline(spark, sf_dir)
     kg_runs, kg_out = [], (0, 0)
-    for _ in range(N_BENCH_RUNS):
+    for _ in range(max(N_BENCH_RUNS, int(os.environ.get(
+            "SPARK_GRAFT_KG_RUNS", "5")))):
         t0 = time.time()
         kg_out = _kg_pipeline(spark, sf_dir)
         kg_runs.append(round(time.time() - t0, 3))

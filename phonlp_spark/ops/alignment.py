@@ -177,15 +177,28 @@ def align_tokens(gold: DataFrame, system: DataFrame,
             .applyInPandas(align, schema=ALIGNED_SCHEMA))
 
 
+def _base_rel(col) -> F.Column:
+    """Strip the language-specific deprel subtype: 'nmod:poss' -> 'nmod'.
+
+    The reference evaluator drops subtypes at LOAD
+    (conll18_ud_eval.py:219, columns[DEPREL].split(':')[0]), so every
+    downstream comparison — LAS equality, CLAS content membership and
+    denominators — sees base relations only.  Normalizing here keeps
+    that contract for inputs carrying subtyped rels."""
+    return F.split(col, ":").getItem(0)
+
+
 def _aligned_arcs(gold: DataFrame, system: DataFrame,
                   aligned: DataFrame) -> DataFrame:
-    """Matched word pairs decorated with both sides' (head, deprel) and
-    the system-side counterpart of the gold head — the table every
-    aligned dependency metric scores over."""
+    """Matched word pairs decorated with both sides' (head, base
+    deprel) and the system-side counterpart of the gold head — the
+    table every aligned dependency metric scores over."""
     g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
-                    F.col("head").alias("g_head"), F.col("deprel").alias("g_rel"))
+                    F.col("head").alias("g_head"),
+                    _base_rel(F.col("deprel")).alias("g_rel"))
     s = system.select(*SENT_KEY, F.col("token_id").alias("system_token_id"),
-                      F.col("head").alias("s_head"), F.col("deprel").alias("s_rel"))
+                      F.col("head").alias("s_head"),
+                      _base_rel(F.col("deprel")).alias("s_rel"))
     j = aligned.join(g, SENT_KEY + ["gold_token_id"]).join(
         s, SENT_KEY + ["system_token_id"])
     head_map = aligned.select(
@@ -194,13 +207,22 @@ def _aligned_arcs(gold: DataFrame, system: DataFrame,
     return j.join(head_map, SENT_KEY + ["g_head"], "left")
 
 
-def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
+def uas_las_aligned(gold: DataFrame, system: DataFrame,
+                    cache_registry: list | None = None) -> DataFrame:
     """UAS/LAS over LCS-aligned tokens (the conll18_ud_eval scoring
     shape for diverging tokenizations): heads compare as ALIGNED head
-    words, not raw indices (conll18_ud_eval.py:536-543).
+    words, not raw indices (conll18_ud_eval.py:536-543).  Deprels are
+    compared as base relations (subtypes stripped, see _base_rel).
 
     Inputs: (doc_id, sent_id, token_id, word, head, deprel).  One row:
     (n_aligned, uas_permille, las_permille), integer DIV only.
+
+    EAGER by default: with cache_registry=None this triggers the
+    alignment job and collects the single summary row inside the call
+    (so the cogrouped alignment cache never leaks past it).  Callers
+    composing lazy plans pass a list instead — the cached alignment is
+    appended to it and a lazy one-row plan is returned; the caller owns
+    materialization and unpersist timing (the build_graph convention).
     """
     aligned = align_tokens(gold, system).cache()
     # map each side's head index to its aligned counterpart: an arc is
@@ -219,15 +241,19 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
         .alias("uas_permille"),
         F.expr("CAST((n_la * 1000) DIV greatest(n_aligned, 1) AS INT)")
         .alias("las_permille"))
-    # the result is one row: materialize it so the cogrouped alignment
-    # cache can be released instead of leaking past the call
+    if cache_registry is not None:
+        cache_registry.append(aligned)
+        return out
+    # eager default: one summary row, collected here so the cogrouped
+    # alignment cache can be released instead of leaking past the call
     row = out.collect()[0]
     aligned.unpersist()
     return gold.sparkSession.createDataFrame([row], out.schema)
 
 
 def aligned_field_score(gold: DataFrame, system: DataFrame,
-                        field: str = "upos") -> DataFrame:
+                        field: str = "upos",
+                        cache_registry: list | None = None) -> DataFrame:
     """UD-eval per-field Score over LCS-aligned words (the reference's
     "UPOS"/"XPOS"/"Lemmas" metrics, conll18_ud_eval.py:527-529 with
     alignment_score key_fn=columns[field]): a matched pair is correct
@@ -236,6 +262,9 @@ def aligned_field_score(gold: DataFrame, system: DataFrame,
     Inputs: (doc_id, sent_id, token_id, word, <field>).  One row:
     (n_gold, n_system, n_aligned, n_correct, precision_permille,
     recall_permille, f1_permille, aligned_acc_permille), integer DIV.
+
+    EAGER by default (collects its one row inside the call); pass
+    cache_registry for a lazy plan — see uas_las_aligned.
     """
     aligned = align_tokens(gold, system).cache()
     g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
@@ -263,6 +292,9 @@ def aligned_field_score(gold: DataFrame, system: DataFrame,
                       " 1) AS INT)").alias("f1_permille"),
                F.expr("CAST((n_correct * 1000) DIV greatest(n_aligned, 1)"
                       " AS INT)").alias("aligned_acc_permille")))
+    if cache_registry is not None:
+        cache_registry.append(aligned)
+        return out
     row = out.collect()[0]
     aligned.unpersist()
     return gold.sparkSession.createDataFrame([row], out.schema)
@@ -279,16 +311,21 @@ CONTENT_DEPRELS = frozenset({
 })
 
 
-def clas_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
+def clas_aligned(gold: DataFrame, system: DataFrame,
+                 cache_registry: list | None = None) -> DataFrame:
     """CLAS: LAS restricted to content relations, the filtered variant
     the reference reports next to UAS/LAS (conll18_ud_eval.py:533-535
     with alignment_score's filter_fn arithmetic at :382-408).
 
-    gold/system denominators count each side's own content-deprel
-    words; correct counts matched pairs whose GOLD word is content and
-    whose (aligned head, deprel) agree.  One row: (n_gold, n_system,
-    n_aligned, n_correct, precision_permille, recall_permille,
-    f1_permille), integer DIV only.
+    gold/system denominators count each side's own content-BASE-deprel
+    words (subtypes stripped before membership and equality, matching
+    the reference's strip-at-load); correct counts matched pairs whose
+    GOLD word is content and whose (aligned head, base deprel) agree.
+    One row: (n_gold, n_system, n_aligned, n_correct,
+    precision_permille, recall_permille, f1_permille), integer DIV only.
+
+    EAGER by default (collects its one row inside the call); pass
+    cache_registry for a lazy plan — see uas_las_aligned.
     """
     aligned = align_tokens(gold, system).cache()
     j = _aligned_arcs(gold, system, aligned)
@@ -299,9 +336,11 @@ def clas_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
     agg = j.agg(
         F.sum(content.cast("long")).alias("n_aligned"),
         F.sum((content & la).cast("long")).alias("n_correct"))
-    gold_n = gold.filter(F.col("deprel").isin(*sorted(CONTENT_DEPRELS))) \
+    gold_n = gold.filter(_base_rel(F.col("deprel"))
+                         .isin(*sorted(CONTENT_DEPRELS))) \
         .agg(F.count(F.lit(1)).alias("n_gold"))
-    sys_n = system.filter(F.col("deprel").isin(*sorted(CONTENT_DEPRELS))) \
+    sys_n = system.filter(_base_rel(F.col("deprel"))
+                          .isin(*sorted(CONTENT_DEPRELS))) \
         .agg(F.count(F.lit(1)).alias("n_system"))
     out = (gold_n.crossJoin(sys_n).crossJoin(agg)
            .select(
@@ -316,6 +355,9 @@ def clas_aligned(gold: DataFrame, system: DataFrame) -> DataFrame:
                .alias("recall_permille"),
                F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
                       " AS INT)").alias("f1_permille")))
+    if cache_registry is not None:
+        cache_registry.append(aligned)
+        return out
     row = out.collect()[0]
     aligned.unpersist()
     return gold.sparkSession.createDataFrame([row], out.schema)

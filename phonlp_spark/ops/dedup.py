@@ -183,7 +183,8 @@ def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   n_bands: int = 4, text_col: str = "text",
                   key_col: str = "doc_id",
-                  bits: int = SIMHASH_BITS) -> DataFrame:
+                  bits: int = SIMHASH_BITS,
+                  max_bucket_size: int | None = 100_000) -> DataFrame:
     """(a, b, hamming): near-dup pairs under SimHash Hamming distance.
 
     Candidates come from banding the fingerprint into n_bands equal
@@ -193,6 +194,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     parameters (3 flips cannot touch all 4 bands).  Exact popcount-of-
     xor verification then filters; everything is integer codegen, never
     a cross product.
+
+    ``max_bucket_size``: (band, chunk) groups holding more rows are
+    dropped before the self-join (hot-bucket guard — a corpus of
+    near-identical documents collapses into one chunk value and would
+    go quadratic there; same pattern as jaccard_pairs' stop-shingles).
+    A dropped band costs candidates only for pairs whose OTHER shared
+    bands are also hot, so the pigeonhole completeness claim degrades
+    gracefully; the oracle SQL mirrors the cap.
     """
     assert bits % n_bands == 0, "bands must tile the fingerprint"
     assert max_hamming <= n_bands - 1, (
@@ -206,6 +215,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         part = sig.select("key", F.lit(b).alias("band"),
                           chunk.alias("chunk"), "simhash")
         bandr = part if bandr is None else bandr.unionByName(part)
+    if max_bucket_size is not None:
+        from phonlp_spark.ops.similarity import drop_hot_buckets
+        bandr = drop_hot_buckets(bandr, ["band", "chunk"], max_bucket_size)
     cand = (
         bandr.alias("l").join(bandr.alias("r"), ["band", "chunk"])
         .filter(F.col("l.key") < F.col("r.key"))

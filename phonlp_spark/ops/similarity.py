@@ -166,19 +166,44 @@ def ann_topk_lsh_multi(embeddings: DataFrame, query_ids: list[int],
             .select("query_id", "neighbor_id", "rank"))
 
 
+def drop_hot_buckets(assign: DataFrame, keys: list[str],
+                     cap: int | None) -> DataFrame:
+    """Hot-bucket guard for pair-generating bucket self-joins: drop
+    bucket groups holding more than ``cap`` rows BEFORE the self-join.
+
+    A degenerate corpus (millions of near-identical vectors hashing to
+    one bucket) otherwise goes quadratic inside that bucket — the same
+    failure mode the stop-shingle guard (ops/dedup.py jaccard_pairs)
+    covers for text.  Dropped buckets trade recall for a hard bound of
+    cap^2/2 pairs per bucket; the recall gates measure the cost.  The
+    hot-bucket list is tiny by construction (at most |corpus|/cap
+    rows) -> broadcast anti-join, one extra count aggregate.
+    """
+    if cap is None:
+        return assign
+    hot = (assign.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > cap).select(*keys))
+    return assign.join(F.broadcast(hot), keys, "left_anti")
+
+
 def embedding_near_dups(embeddings: DataFrame, min_cos_x1000: int = 950,
                         seed: int = 7, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        planes: int = LSH_PLANES) -> DataFrame:
+                        planes: int = LSH_PLANES,
+                        max_bucket_size: int | None = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_x1000).
 
     Candidates come from the hyperplane-LSH bucket join (never the full
     cross product — the 100-TB shape), then exact cosine filters at
     min_cos_x1000/1000.  Output is integer-valued (round(cos*1000)) so
     oracles hash identically; both engines compute the identical IEEE
-    double expression before the round.
+    double expression before the round.  Buckets holding more than
+    ``max_bucket_size`` vectors are dropped from pair generation (see
+    drop_hot_buckets); the oracle SQL mirrors the cap.
     """
-    b = lsh_buckets(embeddings, seed, id_col, vec_col, planes)
+    b = drop_hot_buckets(
+        lsh_buckets(embeddings, seed, id_col, vec_col, planes),
+        ["bucket"], max_bucket_size)
     e = embeddings.join(b, embeddings[id_col] == b["vec_id"]).drop(b["vec_id"])
     left = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
                     F.col("bucket"))
@@ -199,14 +224,20 @@ def embedding_near_dups_multi(embeddings: DataFrame,
                               min_cos_x1000: int = 950,
                               n_tables: int = 4, planes: int = 6,
                               seed: int = 7, id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              max_bucket_size: int | None = 100_000
+                              ) -> DataFrame:
     """Near-dup pairs with OR-amplified candidates: the union of L hash
     tables' bucket collisions, deduped, then exact-cosine thresholded.
     Same output contract as embedding_near_dups; the recall gate
     (dedup_embedding_recall) measures how much more of the true pair
-    set the amplification retrieves."""
-    mb = lsh_buckets_multi(embeddings, n_tables, planes, seed,
-                           id_col, vec_col)
+    set the amplification retrieves.  Per-(table, bucket) groups over
+    ``max_bucket_size`` are dropped before the self-join (hot-bucket
+    guard; a pair survives if ANY of its tables stays under the cap)."""
+    mb = drop_hot_buckets(
+        lsh_buckets_multi(embeddings, n_tables, planes, seed,
+                          id_col, vec_col),
+        ["table_id", "bucket"], max_bucket_size)
     cand = (
         mb.alias("l").join(mb.alias("r"), ["table_id", "bucket"])
         .filter(F.col("l.vec_id") < F.col("r.vec_id"))
@@ -367,16 +398,22 @@ def _scores_arr_q(cents_rows, vq) -> Column:
 def ivf_cells_trained(embeddings: DataFrame, n_cells: int = 8,
                       iters: int = 3, sample_mod: int = 2, seed: int = 11,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      cents_rows: list[tuple[int, list[int]]] | None = None
+                      ) -> DataFrame:
     """(vec_id, cell) under k-means-trained centroids (the production
     swap COVERAGE.md promises for the seeded ivf_cells).
 
     Corpus assignment is a PER-ROW literal-expression argmax — exactly
     the seeded ivf_cells plan shape, zero shuffle over the corpus; only
     the sample-sized fit shuffles.  First-max tie rule == smallest
-    cell, matching the fit's ORDER BY score DESC, cell."""
-    rows = trained_centroids_rows(embeddings, n_cells, iters, sample_mod,
-                                  seed, id_col, vec_col)
+    cell, matching the fit's ORDER BY score DESC, cell.
+
+    ``cents_rows``: precomputed trained_centroids_rows(...) output.
+    Callers composing several trained-IVF operators over the same
+    corpus pass it to fit k-means ONCE instead of once per operator."""
+    rows = cents_rows if cents_rows is not None else trained_centroids_rows(
+        embeddings, n_cells, iters, sample_mod, seed, id_col, vec_col)
     vq = quantized_vecs(embeddings, id_col, vec_col)
     scores = _scores_arr_q(rows, F.col("vq"))
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -387,7 +424,9 @@ def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
                          k: int = 5, n_probe: int = 2, n_cells: int = 8,
                          iters: int = 3, sample_mod: int = 2, seed: int = 11,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         cents_rows: list[tuple[int, list[int]]] | None = None
+                         ) -> DataFrame:
     """IVF top-k with trained centroids and multi-cell probing.
 
     Each query probes its n_probe nearest cells (by the same integer
@@ -397,9 +436,11 @@ def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
     probing never duplicates candidates.  Corpus-side cell assignment
     is the shuffle-free literal projection (ivf_cells_trained); only
     the |queries| * n_cells probe ranking touches a window.
+    ``cents_rows`` skips the fit when precomputed (see
+    ivf_cells_trained).
     """
-    rows = trained_centroids_rows(embeddings, n_cells, iters, sample_mod,
-                                  seed, id_col, vec_col)
+    rows = cents_rows if cents_rows is not None else trained_centroids_rows(
+        embeddings, n_cells, iters, sample_mod, seed, id_col, vec_col)
     vq = quantized_vecs(embeddings, id_col, vec_col)
     scores = _scores_arr_q(rows, F.col("vq"))
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -439,14 +480,20 @@ def embedding_near_dups_ivf(embeddings: DataFrame,
                             n_cells: int = 8, iters: int = 3,
                             sample_mod: int = 2, seed: int = 11,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            cents_rows: list[tuple[int, list[int]]] | None = None,
+                            max_bucket_size: int | None = 100_000) -> DataFrame:
     """Near-dup pairs with trained-IVF-cell candidates: pairs sharing a
     k-means cell (shuffle-free assignment), exact-cosine thresholded.
     On clustered embeddings the cells track the actual neighborhoods,
     so candidate recall beats hyperplane bucketing — measured by
-    dedup_embedding_recall."""
-    cells = ivf_cells_trained(embeddings, n_cells, iters, sample_mod,
-                              seed, id_col, vec_col)
+    dedup_embedding_recall.  ``cents_rows`` skips the fit when
+    precomputed; ``max_bucket_size`` drops over-full cells from pair
+    generation (hot-bucket guard, see embedding_near_dups)."""
+    cells = drop_hot_buckets(
+        ivf_cells_trained(embeddings, n_cells, iters, sample_mod,
+                          seed, id_col, vec_col, cents_rows=cents_rows),
+        ["cell"], max_bucket_size)
     e = embeddings.join(cells, embeddings[id_col] == cells["vec_id"]) \
         .select(cells["vec_id"], F.col(vec_col).alias("v"), "cell")
     left = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),

@@ -94,6 +94,64 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     )
 
 
+def profile(docs: DataFrame, text_col: str = "text",
+            key_col: str = "doc_id") -> DataFrame:
+    """Full per-document text profile in ONE projection pass: token
+    stats + quality features + language ID + content fingerprint.
+
+    Composing the four single-purpose operators via doc_id joins would
+    scan the corpus four times and shuffle three times; every column
+    here is a pure expression over the same row, so the whole profile
+    is one scan with zero shuffles at any scale (the 100-TB shape for
+    "annotate every document with its stats").  Column semantics are
+    identical to token_stats / quality_score / lang_id / fingerprint.
+    """
+    toks = F.split(F.col(text_col), " ")
+    ltoks = F.split(F.lower(F.col(text_col)), " ")
+    stops = F.array(*[F.lit(s) for s in STOP_EN + STOP_VI])
+    en_hits = F.size(F.filter(ltoks, lambda t: t.isin(*STOP_EN)))
+    vi_hits = F.size(F.filter(ltoks, lambda t: t.isin(*STOP_VI)))
+    normed = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    raw = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).alias("_nonspace"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        .alias("_n_stop_tok"),
+        F.size(F.filter(toks, lambda t: t.rlike(PUNCT_RE))).alias("_n_punct"),
+        F.size(F.array_intersect(toks, stops)).alias("n_stopword_types"),
+        en_hits.alias("en_hits"),
+        vi_hits.alias("vi_hits"),
+        F.conv(F.substring(F.md5(normed), 1, 15), 16, 10).cast("bigint")
+        .alias("fingerprint"),
+    )
+    return raw.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("_n_distinct").cast("bigint").alias("n_distinct_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr("CAST((_nonspace * 100) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("avg_token_len_x100"),
+        F.expr("CAST((_n_stop_tok * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("stopword_permille"),
+        F.expr("CAST((_n_punct * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("punct_permille"),
+        F.expr("CAST((_n_distinct * 1000) DIV greatest(n_tokens, 1) AS INT)")
+        .alias("ttr_permille"),
+        F.col("n_stopword_types").cast("bigint").alias("n_stopword_types"),
+        F.when((F.col("en_hits") > F.col("vi_hits")) & (F.col("en_hits") > 0),
+               F.lit("en"))
+        .when((F.col("vi_hits") > F.col("en_hits")) & (F.col("vi_hits") > 0),
+              F.lit("vi"))
+        .otherwise(F.lit("unknown")).alias("lang_pred"),
+        F.col("en_hits").cast("bigint").alias("en_hits"),
+        F.col("vi_hits").cast("bigint").alias("vi_hits"),
+        "fingerprint",
+    )
+
+
 def nfd_normalize(docs: DataFrame, text_col: str = "text",
                   key_col: str = "doc_id") -> DataFrame:
     """NFD unicode normalization (reference common/utils.py:124-125).

@@ -54,6 +54,40 @@ ANNOTATED_SCHEMA = T.StructType([
 _KEY_COLS = ("doc_id", "span_idx", "sent_id")
 
 
+# custom-factory kernels memoized per (python worker process, factory):
+# a transformer-backed factory loads real weights, and paying that once
+# per TASK instead of once per worker would dominate the stage (the
+# default path is process-memoized inside default_kernel already).
+# Lives at module scope so every task's deserialized closure sees the
+# same cache within a reused worker process.
+_KERNEL_CACHE: dict[str, object] = {}
+
+
+def _factory_key(kernel_factory) -> str:
+    """Stable cache key computed DRIVER-side: each task deserializes a
+    fresh factory object, so id() can't key the worker cache — the
+    cloudpickle byte digest can (identical bytes -> identical kernel)."""
+    import hashlib
+    try:
+        from pyspark import cloudpickle
+        return hashlib.md5(cloudpickle.dumps(kernel_factory)).hexdigest()
+    except Exception:
+        return (f"{getattr(kernel_factory, '__module__', '?')}."
+                f"{getattr(kernel_factory, '__qualname__', repr(kernel_factory))}")
+
+
+def _worker_kernel(key: str | None, kernel_factory):
+    from phonlp_spark.kernel.annotate import default_kernel
+
+    if kernel_factory is None:
+        return default_kernel()
+    kernel = _KERNEL_CACHE.get(key)
+    if kernel is None:
+        kernel = kernel_factory()
+        _KERNEL_CACHE[key] = kernel
+    return kernel
+
+
 def _make_annotate_fn(columns: tuple[str, ...], kernel_factory=None):
     """Batch fn emitting only the requested non-key columns.
 
@@ -62,17 +96,17 @@ def _make_annotate_fn(columns: tuple[str, ...], kernel_factory=None):
     Arrow-serializing the five token-level arrays entirely.
 
     ``kernel_factory``: zero-arg callable building the worker-side
-    kernel (cloudpickled into the task; called once per python worker).
+    kernel (cloudpickled into the task; called once per python worker
+    process — memoized in _KERNEL_CACHE by driver-computed key).
     Defaults to default_kernel() — the checkpoint-env production path.
     A transformer-backed deployment passes a factory that wires a
     SubwordEncoder (kernel/checkpoint.py) over its tokenizer+model.
     """
+    factory_key = None if kernel_factory is None else _factory_key(kernel_factory)
 
     def annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one kernel (weights + memoized encoder) per python worker
-        from phonlp_spark.kernel.annotate import default_kernel
-
-        kernel = (kernel_factory or default_kernel)()
+        kernel = _worker_kernel(factory_key, kernel_factory)
         for pdf in batches:
             anns = kernel.annotate(list(pdf["tokens"]))
             data = {k: pdf[k].values for k in _KEY_COLS}

@@ -211,7 +211,18 @@ def run_kg(
     fp = input_fingerprint(documents)
     skip = done_buckets(spark, out_dir, fp, n_buckets) if resume else []
     todo = docs.filter(~F.col("bucket").isin(skip)) if skip else docs
-    attempt = 1 + (len(skip) > 0)
+    # per-bucket attempt lineage: a recomputed bucket's attempt is
+    # 1 + its max recorded attempt for this input+layout (crashed
+    # attempts append no row, so the counter tracks RECORDED runs)
+    prior_attempts: dict[int, int] = {}
+    mf = read_manifest(spark, out_dir)
+    if mf is not None and "n_buckets" in mf.columns:
+        prior_attempts = {
+            int(r["bucket"]): int(r["a"])
+            for r in mf.filter((F.col("input_fingerprint") == fp)
+                               & (F.col("n_buckets") == n_buckets))
+            .groupBy("bucket").agg(F.max("attempt").alias("a")).collect()
+        }
 
     if todo.isEmpty():
         return {"run_id": run_id, "processed_buckets": [], "skipped_buckets": skip,
@@ -269,7 +280,8 @@ def run_kg(
     wall_ms = int((time.time() - t0) * 1000)
     manifest_rows = [
         (run_id, int(r["bucket"]), "done", int(r["docs"]), int(r["sentences"]),
-         int(r["triples"]), wall_ms, attempt, fp, n_buckets)
+         int(r["triples"]), wall_ms,
+         prior_attempts.get(int(r["bucket"]), 0) + 1, fp, n_buckets)
         for r in stats
     ]
     spark.createDataFrame(manifest_rows, ", ".join(

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session timezone: timestamp_ntz -> timestamp casts
+        # must not depend on the host JVM's default zone (DST zones
+        # shift wall-time differences across transitions, silently
+        # breaking gap/sessionization arithmetic and oracle parity)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -265,3 +265,69 @@ def test_aligned_upos_matches_reference_module(spark, sys_sent):  # noqa: F811
     assert got["n_correct"] == want.correct
     assert got["precision_permille"] == int(want.precision * 1000)
     assert got["recall_permille"] == int(want.recall * 1000)
+
+
+# Subtyped deprels: the reference strips 'x:y' -> 'x' at LOAD
+# (conll18_ud_eval.py:219), so CLAS content membership and LAS label
+# equality both see BASE relations.  The operator takes raw subtyped
+# strings and must reproduce that (ADVICE r3: synthetic fixtures
+# without subtypes could never catch a miss here).
+GOLD_SUB = [("1", "ab", 0, "root"), ("2", "c", 1, "nsubj:pass"),
+            ("3-4", "du", 0, "_"), ("3", "de", 5, "case"),
+            ("4", "le", 5, "det:predet"), ("5", "x", 1, "nmod:poss")]
+# A: same tree, subtype-only label differences (must all count correct)
+SYSA_SUB = [("1", "ab", 0, "root"), ("2", "c", 1, "nsubj"),
+            ("3-4", "du", 0, "_"), ("3", "de", 5, "case:loc"),
+            ("4", "le", 5, "det"), ("5", "x", 1, "nmod:tmod")]
+# B: unsplit MWT + base-level label/head errors under subtyped surface
+SYSB_SUB = [("1", "ab", 0, "root"), ("2", "c", 1, "amod:x"),
+            ("3", "du", 4, "nmod:poss"), ("4", "x", 2, "obl:agent")]
+
+
+@pytest.mark.parametrize("sys_sent", [SYSA_SUB, SYSB_SUB])
+def test_clas_strips_deprel_subtypes(spark, sys_sent):  # noqa: F811
+    import io
+    from phonlp_spark.ops.alignment import clas_aligned
+
+    ud = _load_reference_udeval()
+    gold_ud = ud.load_conllu(io.StringIO(_conllu_dep([GOLD_SUB])))
+    sys_ud = ud.load_conllu(io.StringIO(_conllu_dep([sys_sent])))
+    want = ud.evaluate(gold_ud, sys_ud)["CLAS"]
+
+    got = clas_aligned(_dep_df(spark, GOLD_SUB),
+                       _dep_df(spark, sys_sent)).collect()[0]
+    assert got["n_gold"] == want.gold_total
+    assert got["n_system"] == want.system_total
+    assert got["n_aligned"] == want.aligned_total
+    assert got["n_correct"] == want.correct
+
+
+def test_las_subtype_only_differences_are_correct(spark):  # noqa: F811
+    """Identical trees up to deprel subtypes: LAS must be perfect."""
+    schema = ("doc_id string, sent_id int, token_id int, word string, "
+              "head int, deprel string")
+    gold = spark.createDataFrame(
+        [("d", 0, 1, "a", 2, "nsubj:pass"), ("d", 0, 2, "b", 0, "root"),
+         ("d", 0, 3, "c", 2, "obl:agent")], schema)
+    syst = spark.createDataFrame(
+        [("d", 0, 1, "a", 2, "nsubj"), ("d", 0, 2, "b", 0, "root"),
+         ("d", 0, 3, "c", 2, "obl:tmod")], schema)
+    got = uas_las_aligned(gold, syst).collect()[0]
+    assert (got["n_aligned"], got["uas_permille"], got["las_permille"]) \
+        == (3, 1000, 1000)
+
+
+def test_aligned_metrics_lazy_with_cache_registry(spark):  # noqa: F811
+    """cache_registry callers get a LAZY plan and own the cache."""
+    rows = [("d", 0, 1, "a", 2, "sub"), ("d", 0, 2, "b", 0, "root"),
+            ("d", 0, 3, "c", 2, "dob")]
+    schema = ("doc_id string, sent_id int, token_id int, word string, "
+              "head int, deprel string")
+    df = spark.createDataFrame(rows, schema)
+    reg = []
+    out = uas_las_aligned(df, df, cache_registry=reg)
+    assert len(reg) == 1           # the cached alignment was handed over
+    got = out.collect()[0]         # caller triggers materialization
+    assert got["uas_permille"] == 1000
+    for c in reg:
+        c.unpersist()

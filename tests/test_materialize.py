@@ -185,3 +185,27 @@ def test_dedup_resume_interaction(spark, tmp_path):  # noqa: F811
     assert sorted(again["skipped_buckets"]) == sorted(
         first["processed_buckets"])
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_attempt_counts_per_bucket(spark, out_dir):  # noqa: F811
+    """VERDICT r3 #7: the manifest's attempt column is a real
+    per-bucket counter over recorded runs of the same input+layout,
+    not a global 1/2 flag."""
+    docs, alias = _inputs(spark)
+    run_kg(spark, docs, alias, out_dir, n_buckets=8)
+    mf = spark.read.parquet(f"{out_dir}/manifest")
+    assert mf.filter("attempt != 1").count() == 0
+
+    # forced full re-run (resume off): every bucket's second recorded
+    # attempt must be exactly 2
+    run_kg(spark, docs, alias, out_dir, n_buckets=8, resume=False)
+    mf = spark.read.parquet(f"{out_dir}/manifest")
+    per_bucket = {r["bucket"]: r["m"]
+                  for r in mf.groupBy("bucket")
+                  .agg(F.max("attempt").alias("m")).collect()}
+    assert all(v == 2 for v in per_bucket.values())
+
+    # and a third run bumps to 3 — a counter, not a flag
+    run_kg(spark, docs, alias, out_dir, n_buckets=8, resume=False)
+    mf = spark.read.parquet(f"{out_dir}/manifest")
+    assert mf.agg(F.max("attempt")).collect()[0][0] == 3

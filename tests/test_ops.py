@@ -374,3 +374,60 @@ def test_events_sessionization_rule(spark):  # noqa: F811
            for r in entry.queries()["events_sessions"](spark, d).collect()}
     assert got == {(7, 1): (2, 1, 1740), (7, 2): (1, 3, 0),
                    (9, 1): (1, 4, 0), (9, 2): (1, 5, 0)}
+
+
+def test_hot_bucket_guard_bounds_pair_explosion(spark):  # noqa: F811
+    """Adversarial corpus: 40 identical embeddings all but guarantee
+    ONE LSH bucket / IVF cell, so unguarded pair generation is
+    quadratic (780 pairs).  With max_bucket_size below the corpus size
+    the hot group must be dropped entirely -> zero pairs; with the cap
+    above it, the full quadratic set returns (guard is inert)."""
+    vec = [float((i % 7) - 3) / 3.0 for i in range(similarity.EMB_DIM)]
+    emb = spark.createDataFrame([(i, vec) for i in range(40)],
+                                "vec_id long, embedding array<double>")
+    guarded = similarity.embedding_near_dups(
+        emb, min_cos_x1000=300, max_bucket_size=10)
+    assert guarded.count() == 0
+    open_ = similarity.embedding_near_dups(
+        emb, min_cos_x1000=300, max_bucket_size=1000)
+    assert open_.count() == 40 * 39 // 2
+
+    g_multi = similarity.embedding_near_dups_multi(
+        emb, min_cos_x1000=300, max_bucket_size=10)
+    assert g_multi.count() == 0
+
+    g_ivf = similarity.embedding_near_dups_ivf(
+        emb, min_cos_x1000=300, max_bucket_size=10)
+    assert g_ivf.count() == 0
+
+
+def test_simhash_hot_bucket_guard(spark):  # noqa: F811
+    """Identical documents share every simhash band; a small cap must
+    drop the hot (band, chunk) groups and bound the candidate count,
+    while a large cap reproduces the unguarded pairs."""
+    rows = [(i, "a b c d e f g") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = dedup.simhash_pairs(docs, max_bucket_size=10)
+    assert guarded.count() == 0
+    open_ = dedup.simhash_pairs(docs, max_bucket_size=1000)
+    assert open_.count() == 30 * 29 // 2
+
+
+def test_text_profile_matches_component_ops(spark, docs):  # noqa: F811
+    """The one-pass profile must agree column-for-column with the four
+    single-purpose operators it fuses."""
+    prof = {r["doc_id"]: r for r in textstats.profile(docs).collect()}
+    ts = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    qs = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    li = {r["doc_id"]: r for r in textstats.lang_id(docs).collect()}
+    fp = {r["doc_id"]: r for r in textstats.fingerprint(docs).collect()}
+    for d, p in prof.items():
+        assert p["n_tokens"] == ts[d]["n_tokens"]
+        assert p["n_distinct_tokens"] == ts[d]["n_distinct_tokens"]
+        assert p["n_chars"] == ts[d]["n_chars"]
+        for c in ("avg_token_len_x100", "stopword_permille",
+                  "punct_permille", "ttr_permille", "n_stopword_types"):
+            assert p[c] == qs[d][c], c
+        assert p["lang_pred"] == li[d]["lang_pred"]
+        assert (p["en_hits"], p["vi_hits"]) == (li[d]["en_hits"], li[d]["vi_hits"])
+        assert p["fingerprint"] == fp[d]["fingerprint"]

@@ -164,3 +164,27 @@ def test_subword_encoder_through_spark_stage(spark, docs):  # noqa: F811
     # sanity: the subword path is genuinely different from the default
     # encoder (otherwise this test would vacuously repeat the other one)
     assert n_diff_vs_default > 0
+
+
+def test_custom_kernel_factory_memoized_per_worker(spark, docs, tmp_path):  # noqa: F811
+    """VERDICT r3 #6: a custom kernel_factory must be invoked once per
+    python WORKER PROCESS, not once per task — a transformer-backed
+    factory reloading weights per task would dominate the stage.  The
+    counting factory logs its PID on every call; with worker reuse on
+    and more partitions than workers, calls must equal distinct PIDs."""
+    import functools
+
+    from phonlp_spark.testing import counting_kernel_factory
+
+    log = str(tmp_path / "factory_calls")
+    factory = functools.partial(counting_kernel_factory, log)
+    annotated = annotate_sentences_df(
+        split_sentences(docs), salt_partitions=16, columns=("tokens",),
+        kernel_factory=factory)
+    n_rows = annotated.count()
+    assert n_rows > 0
+    with open(log) as f:
+        pids = [ln.strip() for ln in f if ln.strip()]
+    assert len(pids) >= 1
+    # one factory call per worker process — NOT one per partition/task
+    assert len(pids) == len(set(pids))

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        # kernel forward-chunk knob reaches python workers (see
+        # kernel/annotate.py _FORWARD_CHUNK for the measured sweep)
+        .config("spark.executorEnv.PHONLP_SPARK_FORWARD_CHUNK",
+                os.environ.get("PHONLP_SPARK_FORWARD_CHUNK", "256"))
         # keep python workers alive across jobs: respawning re-pays the
         # host's lazy-memory warmup (~200MB of first-touch per worker)
         .config("spark.python.worker.reuse", "true")

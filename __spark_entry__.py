@@ -536,6 +536,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return uas_las_aligned(gold, system)
     q["score_uas_las"] = score_uas_las
 
+    def _h_word(prefix, m):
+        """Context-free per-word hash value in [0, m) — attrs derived
+        from the token string alone so the DuckDB mirror recomputes
+        them exactly."""
+        return (F.conv(F.substring(F.md5(F.concat(F.lit(prefix),
+                                                  F.col("word"))), 1, 15),
+                       16, 10).cast("bigint") % m)
+
+    def _with_synth_attrs(df):
+        """md5-derived UPOS / FEATS / lemma columns on a synthetic
+        tree side: gold values plus hash-chosen system perturbations
+        (wrong UPOS ~1/6, flipped Number ~1/5, wrong lemma ~1/4,
+        gold lemma '_' ~1/7 to exercise the BLEX escape).  Raw FEATS
+        carry a non-universal 'Typo=Yes' ~1/5 and unsorted order so
+        the operator's load-normalization is exercised end to end."""
+        g_upos = F.concat(F.lit("U"), _h_word("u:", 3).cast("string"))
+        s_upos = F.when(_h_word("pu:", 6) == 0,
+                        F.concat(F.lit("U"), ((_h_word("u:", 3) + 1) % 3)
+                                 .cast("string"))).otherwise(g_upos)
+        num_g = F.when(_h_word("n:", 2) == 0, F.lit("Number=Sing")) \
+            .otherwise(F.lit("Number=Plur"))
+        num_s = F.when(_h_word("pf:", 5) == 0,
+                       F.when(_h_word("n:", 2) == 0, F.lit("Number=Plur"))
+                       .otherwise(F.lit("Number=Sing"))).otherwise(num_g)
+        gen = F.when(_h_word("gv:", 2) == 0, F.lit("Gender=Masc")) \
+            .otherwise(F.lit("Gender=Fem"))
+        has_gen = _h_word("g:", 3) == 0
+        typo = F.when(_h_word("ty:", 5) == 0, F.lit("Typo=Yes|")) \
+            .otherwise(F.lit(""))
+
+        def raw_feats(num):
+            return F.concat(typo, num,
+                            F.when(has_gen, F.concat(F.lit("|"), gen))
+                            .otherwise(F.lit("")))
+        g_lemma = F.when(_h_word("l:", 7) == 0, F.lit("_")) \
+            .otherwise(F.lower("word"))
+        s_lemma = F.when(_h_word("pl:", 4) == 0,
+                         F.concat(F.lower("word"), F.lit("x"))) \
+            .otherwise(F.lower("word"))
+        return (df.withColumn("g_upos_", g_upos).withColumn("s_upos_", s_upos)
+                .withColumn("g_feats_", raw_feats(num_g))
+                .withColumn("s_feats_", raw_feats(num_s))
+                .withColumn("g_lemma_", g_lemma)
+                .withColumn("s_lemma_", s_lemma))
+
+    def score_mlas_blex(s, d):
+        """MLAS + BLEX through the REAL aligned operators over the
+        synthetic trees (identity tokenization ⇒ every count is
+        SQL-derivable): completes the CoNLL-2018 Score family at the
+        driver (reference conll18_ud_eval.py:536-550)."""
+        from phonlp_spark.ops.alignment import blex_aligned, mlas_aligned
+        gold, system = _synth_trees(s, d)
+        gold = _with_synth_attrs(gold).select(
+            "doc_id", "sent_id", "token_id", "word", "head", "deprel",
+            F.col("g_upos_").alias("upos"), F.col("g_feats_").alias("feats"),
+            F.col("g_lemma_").alias("lemma"))
+        system = _with_synth_attrs(system).select(
+            "doc_id", "sent_id", "token_id", "word", "head", "deprel",
+            F.col("s_upos_").alias("upos"), F.col("s_feats_").alias("feats"),
+            F.col("s_lemma_").alias("lemma"))
+        m = mlas_aligned(gold, system).select(
+            F.lit("mlas").alias("metric"), "*")
+        b = blex_aligned(gold, system).select(
+            F.lit("blex").alias("metric"), "*")
+        return m.unionByName(b)
+    q["score_mlas_blex"] = score_mlas_blex
+
     def score_upos_aligned(s, d):
         """The UD-eval "UPOS" Score through the real aligned-field
         operator: identical tokenization on both sides (identity
@@ -1397,6 +1464,122 @@ SELECT CAST(n_aligned AS BIGINT) AS n_aligned,
        CAST(n_ua * 1000 // greatest(n_aligned, 1) AS INT) AS uas_permille,
        CAST(n_la * 1000 // greatest(n_aligned, 1) AS INT) AS las_permille
 FROM u"""
+
+    # MLAS/BLEX over the synthetic trees + md5 word-derived attrs:
+    # identity alignment ⇒ head correctness is plain equality, and the
+    # functional-children list comparison reduces to a keyed FULL JOIN
+    # with no mismatch rows (identity child ids, lists sorted by word
+    # order on both sides).  The oracle builds feats PRE-NORMALIZED
+    # (Gender sorts before Number, Typo=Yes dropped) — the Spark side
+    # feeds raw unsorted strings through the operator's
+    # load-normalization, so agreement checks that path too.
+    _rels10 = _rels_lit
+    _func_lit = "('case', 'det', 'cc', 'mark')"
+    _hw = ("('0x' || substr(md5('{p}' || word), 1, 15))::BIGINT % {m}")
+    _hk = ("('0x' || substr(md5('{p}' || doc_id || ':' ||"
+           " CAST(sent_id AS VARCHAR) || ':' ||"
+           " CAST(token_id AS VARCHAR)), 1, 15))::BIGINT % {m}")
+    o["score_mlas_blex"] = _SENT_SQL + f"""
+, tok0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, sent_id,
+         unnest(string_split(sentence, ' ')) AS word,
+         unnest(range(1, len(string_split(sentence, ' ')) + 1)) AS token_id
+  FROM s
+), base AS (
+  SELECT doc_id, sent_id, CAST(token_id AS INT) AS token_id, word,
+         {_hk.format(p='h:', m='greatest(token_id - 1, 1)')} AS g_off,
+         CAST({_hk.format(p='r:', m=len(_CLAS_RELS))} AS INT) AS g_ri,
+         {_hk.format(p='ph:', m=7)} AS ph,
+         {_hk.format(p='pr:', m=5)} AS pr,
+         {_hw.format(p='u:', m=3)} AS hu,
+         {_hw.format(p='pu:', m=6)} AS hpu,
+         {_hw.format(p='n:', m=2)} AS hn,
+         {_hw.format(p='pf:', m=5)} AS hpf,
+         {_hw.format(p='gv:', m=2)} AS hgv,
+         {_hw.format(p='g:', m=3)} AS hg,
+         {_hw.format(p='l:', m=7)} AS hl,
+         {_hw.format(p='pl:', m=4)} AS hpl
+  FROM tok0
+), lab AS (
+  SELECT doc_id, sent_id, token_id, word,
+         CASE WHEN token_id = 1 THEN 0 ELSE 1 + g_off END AS g_head,
+         {_rels10}[g_ri + 1] AS g_rel,
+         CASE WHEN token_id > 2 AND ph = 0
+              THEN 1 + (g_off + 1) % (token_id - 1)
+              WHEN token_id = 1 THEN 0 ELSE 1 + g_off END AS s_head,
+         CASE WHEN pr = 0 THEN {_rels10}[((g_ri + 1) % {len(_CLAS_RELS)}) + 1]
+              ELSE {_rels10}[g_ri + 1] END AS s_rel,
+         'U' || CAST(hu AS VARCHAR) AS g_upos,
+         CASE WHEN hpu = 0 THEN 'U' || CAST((hu + 1) % 3 AS VARCHAR)
+              ELSE 'U' || CAST(hu AS VARCHAR) END AS s_upos,
+         (CASE WHEN hg = 0 THEN (CASE WHEN hgv = 0 THEN 'Gender=Masc'
+                                      ELSE 'Gender=Fem' END) || '|'
+               ELSE '' END)
+         || (CASE WHEN hn = 0 THEN 'Number=Sing'
+                  ELSE 'Number=Plur' END) AS g_feats,
+         (CASE WHEN hg = 0 THEN (CASE WHEN hgv = 0 THEN 'Gender=Masc'
+                                      ELSE 'Gender=Fem' END) || '|'
+               ELSE '' END)
+         || (CASE WHEN hpf = 0
+                  THEN (CASE WHEN hn = 0 THEN 'Number=Plur'
+                             ELSE 'Number=Sing' END)
+                  ELSE (CASE WHEN hn = 0 THEN 'Number=Sing'
+                             ELSE 'Number=Plur' END) END) AS s_feats,
+         CASE WHEN hl = 0 THEN '_' ELSE lower(word) END AS g_lemma,
+         CASE WHEN hpl = 0 THEN lower(word) || 'x'
+              ELSE lower(word) END AS s_lemma
+  FROM base
+), gch AS (
+  SELECT doc_id, sent_id, g_head AS parent, token_id AS cid,
+         g_rel AS rel, g_upos AS up, g_feats AS ft
+  FROM lab WHERE g_rel IN {_func_lit}
+), sch AS (
+  SELECT doc_id, sent_id, s_head AS parent, token_id AS cid,
+         s_rel AS rel, s_upos AS up, s_feats AS ft
+  FROM lab WHERE s_rel IN {_func_lit}
+), fcbad AS (
+  SELECT DISTINCT coalesce(g.doc_id, s2.doc_id) AS doc_id,
+         coalesce(g.sent_id, s2.sent_id) AS sent_id,
+         coalesce(g.parent, s2.parent) AS parent
+  FROM gch g FULL JOIN sch s2
+    ON g.doc_id = s2.doc_id AND g.sent_id = s2.sent_id
+   AND g.parent = s2.parent AND g.cid = s2.cid
+  WHERE g.cid IS NULL OR s2.cid IS NULL
+     OR g.rel <> s2.rel OR g.up <> s2.up OR g.ft <> s2.ft
+), scored AS (
+  SELECT l.*, (fb.parent IS NULL) AS fc_ok
+  FROM lab l LEFT JOIN fcbad fb
+    ON fb.doc_id = l.doc_id AND fb.sent_id = l.sent_id
+   AND fb.parent = l.token_id
+), c AS (
+  SELECT
+    sum(CASE WHEN g_rel IN {_content_lit} THEN 1 ELSE 0 END) AS ng,
+    sum(CASE WHEN s_rel IN {_content_lit} THEN 1 ELSE 0 END) AS ns,
+    sum(CASE WHEN g_rel IN {_content_lit} AND g_head = s_head
+              AND g_rel = s_rel AND g_upos = s_upos
+              AND g_feats = s_feats AND fc_ok
+             THEN 1 ELSE 0 END) AS ncm,
+    sum(CASE WHEN g_rel IN {_content_lit} AND g_head = s_head
+              AND g_rel = s_rel
+              AND (g_lemma = '_' OR g_lemma = s_lemma)
+             THEN 1 ELSE 0 END) AS ncb
+  FROM scored
+)
+SELECT 'mlas' AS metric,
+       CAST(ng AS BIGINT) AS n_gold, CAST(ns AS BIGINT) AS n_system,
+       CAST(ng AS BIGINT) AS n_aligned, CAST(ncm AS BIGINT) AS n_correct,
+       CAST(ncm * 1000 // greatest(ns, 1) AS INT) AS precision_permille,
+       CAST(ncm * 1000 // greatest(ng, 1) AS INT) AS recall_permille,
+       CAST(ncm * 2000 // greatest(ng + ns, 1) AS INT) AS f1_permille
+FROM c
+UNION ALL
+SELECT 'blex' AS metric,
+       CAST(ng AS BIGINT), CAST(ns AS BIGINT),
+       CAST(ng AS BIGINT), CAST(ncb AS BIGINT),
+       CAST(ncb * 1000 // greatest(ns, 1) AS INT),
+       CAST(ncb * 1000 // greatest(ng, 1) AS INT),
+       CAST(ncb * 2000 // greatest(ng + ns, 1) AS INT)
+FROM c"""
 
     # Span-sequence invariant: every input document must reassemble to an
     # identical span sequence after the pipeline, so the invariant count

@@ -361,3 +361,194 @@ def clas_aligned(gold: DataFrame, system: DataFrame,
     row = out.collect()[0]
     aligned.unpersist()
     return gold.sparkSession.createDataFrame([row], out.schema)
+
+
+# The UD functional relations whose dependents ride along in MLAS
+# functional-children comparison (conll18_ud_eval.py:137) and the
+# universal feature inventory FEATS are filtered to at load
+# (conll18_ud_eval.py:139-161, :216) — both from the public UD spec.
+FUNCTIONAL_DEPRELS = frozenset({"aux", "cop", "mark", "det", "clf",
+                                "case", "cc"})
+UNIVERSAL_FEATURES = frozenset({
+    "PronType", "NumType", "Poss", "Reflex", "Foreign", "Abbr", "Gender",
+    "Animacy", "Number", "Case", "Definite", "Degree", "VerbForm", "Mood",
+    "Tense", "Aspect", "Voice", "Evident", "Polarity", "Person", "Polite",
+})
+
+
+def norm_feats(col) -> F.Column:
+    """FEATS normalization the reference applies at LOAD
+    (conll18_ud_eval.py:216): keep only universal features, sorted,
+    '|'-joined; '_' when none survive."""
+    kept = F.array_sort(F.filter(
+        F.split(col, r"\|"),
+        lambda x: F.split(x, "=").getItem(0)
+        .isin(*sorted(UNIVERSAL_FEATURES))))
+    joined = F.array_join(kept, "|")
+    return F.when(col.isNull() | (F.length(joined) == 0), F.lit("_")) \
+        .otherwise(joined)
+
+
+def _functional_children(tokens: DataFrame, aligned: DataFrame | None) -> DataFrame:
+    """Per-word ordered functional-children signature list.
+
+    For each parent word: its dependents whose BASE deprel is
+    functional, in word order (the reference appends them in word
+    order, conll18_ud_eval.py:263), each as a (mapped_id, deprel,
+    upos, feats) struct.  ``aligned`` maps SYSTEM child ids to their
+    gold counterparts ('NotAligned' when unmatched) — pass None on the
+    gold side, where ga is the identity (conll18_ud_eval.py:397-400).
+    Output: (doc_id, sent_id, token_id, fc) keyed by the PARENT id.
+    """
+    ch = tokens.select(
+        *SENT_KEY, F.col("head").alias("token_id"),
+        F.col("token_id").alias("_cid"),
+        _base_rel(F.col("deprel")).alias("_rel"),
+        F.col("upos").alias("_upos"),
+        norm_feats(F.col("feats")).alias("_feats"),
+    ).filter(F.col("_rel").isin(*sorted(FUNCTIONAL_DEPRELS)))
+    if aligned is None:
+        ch = ch.withColumn("_mid", F.col("_cid").cast("string"))
+    else:
+        amap = aligned.select(
+            *SENT_KEY, F.col("system_token_id").alias("_cid"),
+            F.col("gold_token_id").cast("string").alias("_mid"))
+        ch = ch.join(amap, SENT_KEY + ["_cid"], "left") \
+            .withColumn("_mid", F.coalesce("_mid", F.lit("NotAligned")))
+    lst = (ch.groupBy(*SENT_KEY, "token_id")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               "_cid", "_mid", "_rel", "_upos", "_feats"))).alias("_fc")))
+    # order by the child's own word order, then drop the sort key so
+    # the comparison sees only (mapped id, rel, upos, feats)
+    return lst.select(
+        *SENT_KEY, "token_id",
+        F.transform("_fc", lambda s: F.struct(
+            s["_mid"].alias("mid"), s["_rel"].alias("rel"),
+            s["_upos"].alias("upos"), s["_feats"].alias("feats")))
+        .alias("fc"))
+
+
+def mlas_aligned(gold: DataFrame, system: DataFrame,
+                 cache_registry: list | None = None) -> DataFrame:
+    """MLAS (conll18_ud_eval.py:536-545): CLAS whose correctness
+    additionally requires the word's UPOS and universal FEATS to match
+    AND both sides' ordered functional-children signatures to agree
+    (each child as its aligned counterpart + base deprel + UPOS +
+    FEATS).  Inputs: (doc_id, sent_id, token_id, word, head, deprel,
+    upos, feats); feats may be raw CoNLL-U strings — normalized here
+    exactly as the reference does at load.  One row: (n_gold,
+    n_system, n_aligned, n_correct, precision_permille,
+    recall_permille, f1_permille).  EAGER by default; pass
+    cache_registry for a lazy plan — see uas_las_aligned.
+    """
+    aligned = align_tokens(gold, system).cache()
+    j = _aligned_arcs(gold, system, aligned)
+    g_attr = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
+                         F.col("upos").alias("g_upos"),
+                         norm_feats(F.col("feats")).alias("g_feats"))
+    s_attr = system.select(*SENT_KEY,
+                           F.col("token_id").alias("system_token_id"),
+                           F.col("upos").alias("s_upos"),
+                           norm_feats(F.col("feats")).alias("s_feats"))
+    j = j.join(g_attr, SENT_KEY + ["gold_token_id"]) \
+         .join(s_attr, SENT_KEY + ["system_token_id"])
+    g_fc = _functional_children(gold, None).withColumnRenamed(
+        "token_id", "gold_token_id").withColumnRenamed("fc", "g_fc")
+    s_fc = _functional_children(system, aligned).withColumnRenamed(
+        "token_id", "system_token_id").withColumnRenamed("fc", "s_fc")
+    empty = F.array().cast(
+        "array<struct<mid:string,rel:string,upos:string,feats:string>>")
+    j = (j.join(g_fc, SENT_KEY + ["gold_token_id"], "left")
+         .join(s_fc, SENT_KEY + ["system_token_id"], "left")
+         .withColumn("g_fc", F.coalesce("g_fc", empty))
+         .withColumn("s_fc", F.coalesce("s_fc", empty)))
+    content = F.col("g_rel").isin(*sorted(CONTENT_DEPRELS))
+    ua = (F.col("g_head") == 0) & (F.col("s_head") == 0) | (
+        F.col("s_head_aligned") == F.col("s_head"))
+    ok = ua & (F.col("g_rel") == F.col("s_rel")) \
+        & (F.col("g_upos") == F.col("s_upos")) \
+        & (F.col("g_feats") == F.col("s_feats")) \
+        & (F.col("g_fc") == F.col("s_fc"))
+    agg = j.agg(
+        F.sum(content.cast("long")).alias("n_aligned"),
+        F.sum((content & ok).cast("long")).alias("n_correct"))
+    gold_n = gold.filter(_base_rel(F.col("deprel"))
+                         .isin(*sorted(CONTENT_DEPRELS))) \
+        .agg(F.count(F.lit(1)).alias("n_gold"))
+    sys_n = system.filter(_base_rel(F.col("deprel"))
+                          .isin(*sorted(CONTENT_DEPRELS))) \
+        .agg(F.count(F.lit(1)).alias("n_system"))
+    out = (gold_n.crossJoin(sys_n).crossJoin(agg)
+           .select(
+               "n_gold", "n_system",
+               F.coalesce("n_aligned", F.lit(0)).alias("n_aligned"),
+               F.coalesce("n_correct", F.lit(0)).alias("n_correct"))
+           .select(
+               "n_gold", "n_system", "n_aligned", "n_correct",
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_system, 1) AS INT)")
+               .alias("precision_permille"),
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_gold, 1) AS INT)")
+               .alias("recall_permille"),
+               F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
+                      " AS INT)").alias("f1_permille")))
+    if cache_registry is not None:
+        cache_registry.append(aligned)
+        return out
+    row = out.collect()[0]
+    aligned.unpersist()
+    return gold.sparkSession.createDataFrame([row], out.schema)
+
+
+def blex_aligned(gold: DataFrame, system: DataFrame,
+                 cache_registry: list | None = None) -> DataFrame:
+    """BLEX (conll18_ud_eval.py:547-550): CLAS whose correctness
+    additionally requires the lemma to match under the reference's
+    gold-'_' escape — a pair whose GOLD lemma is '_' is
+    lemma-correct regardless of the system lemma (both key_fns
+    collapse to '_').  Inputs: (doc_id, sent_id, token_id, word,
+    head, deprel, lemma).  One row, same shape as clas_aligned.
+    EAGER by default; pass cache_registry for a lazy plan.
+    """
+    aligned = align_tokens(gold, system).cache()
+    j = _aligned_arcs(gold, system, aligned)
+    g_l = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
+                      F.col("lemma").alias("g_lemma"))
+    s_l = system.select(*SENT_KEY,
+                        F.col("token_id").alias("system_token_id"),
+                        F.col("lemma").alias("s_lemma"))
+    j = j.join(g_l, SENT_KEY + ["gold_token_id"]) \
+         .join(s_l, SENT_KEY + ["system_token_id"])
+    content = F.col("g_rel").isin(*sorted(CONTENT_DEPRELS))
+    ua = (F.col("g_head") == 0) & (F.col("s_head") == 0) | (
+        F.col("s_head_aligned") == F.col("s_head"))
+    lemma_ok = (F.col("g_lemma") == F.lit("_")) | \
+        (F.col("g_lemma") == F.col("s_lemma"))
+    ok = ua & (F.col("g_rel") == F.col("s_rel")) & lemma_ok
+    agg = j.agg(
+        F.sum(content.cast("long")).alias("n_aligned"),
+        F.sum((content & ok).cast("long")).alias("n_correct"))
+    gold_n = gold.filter(_base_rel(F.col("deprel"))
+                         .isin(*sorted(CONTENT_DEPRELS))) \
+        .agg(F.count(F.lit(1)).alias("n_gold"))
+    sys_n = system.filter(_base_rel(F.col("deprel"))
+                          .isin(*sorted(CONTENT_DEPRELS))) \
+        .agg(F.count(F.lit(1)).alias("n_system"))
+    out = (gold_n.crossJoin(sys_n).crossJoin(agg)
+           .select(
+               "n_gold", "n_system",
+               F.coalesce("n_aligned", F.lit(0)).alias("n_aligned"),
+               F.coalesce("n_correct", F.lit(0)).alias("n_correct"))
+           .select(
+               "n_gold", "n_system", "n_aligned", "n_correct",
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_system, 1) AS INT)")
+               .alias("precision_permille"),
+               F.expr("CAST((n_correct * 1000) DIV greatest(n_gold, 1) AS INT)")
+               .alias("recall_permille"),
+               F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
+                      " AS INT)").alias("f1_permille")))
+    if cache_registry is not None:
+        cache_registry.append(aligned)
+        return out
+    row = out.collect()[0]
+    aligned.unpersist()
+    return gold.sparkSession.createDataFrame([row], out.schema)

@@ -100,11 +100,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     )
     if small_graph_edges is None:
         small_graph_edges = SMALL_GRAPH_EDGES
-    n_edges = e.count()
-    if n_edges == 0:
+    # one bounded collect decides the strategy AND feeds the driver
+    # fast path (formerly count + collect = two jobs; the limit keeps
+    # the driver transfer capped for huge graphs, which then iterate
+    # distributed on the checkpointed edge set)
+    sample = e.limit(small_graph_edges + 1).collect()
+    if not sample:
         return spark.createDataFrame([], "node string, component string")
-    if n_edges <= small_graph_edges:
-        pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    if len(sample) <= small_graph_edges:
+        pairs = [(r["src"], r["dst"]) for r in sample]
         return spark.createDataFrame(
             _union_find_local(pairs), "node string, component string")
 

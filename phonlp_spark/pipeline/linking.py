@@ -119,16 +119,18 @@ def link_surfaces(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
     exact = surfaces.join(F.broadcast(alias_norm), "nsurf", "left")
     misses = exact.filter(F.col("entity_id").isNull()).select("nsurf")
 
-    n_alias = alias_norm.count()
-    if n_alias > MAX_ALIASES:
+    # one bounded collect both enforces the size contract and feeds the
+    # broadcast (formerly a count job followed by a collect job); the
+    # limit caps the driver transfer even when the contract is violated
+    alias_rows = alias_norm.limit(MAX_ALIASES + 1).collect()
+    if len(alias_rows) > MAX_ALIASES:
         raise ValueError(
-            f"alias inventory has {n_alias} distinct surfaces, over the "
-            f"{MAX_ALIASES} cap for the collect+broadcast linking path "
-            f"(~{n_alias * SIM_DIM * 4 / 2**30:.1f} GiB n-gram matrix on the "
-            "driver and every executor). Raise PHONLP_SPARK_MAX_ALIASES only "
-            "with memory to match, or switch stage 2 to the LSH/ANN join in "
-            "phonlp_spark/ops/similarity.py.")
-    alias_rows = alias_norm.collect()  # small by contract — enforced above
+            f"alias inventory exceeds the {MAX_ALIASES}-surface cap for the "
+            f"collect+broadcast linking path "
+            f"(~{MAX_ALIASES * SIM_DIM * 4 / 2**30:.1f} GiB n-gram matrix on "
+            "the driver and every executor). Raise PHONLP_SPARK_MAX_ALIASES "
+            "only with memory to match, or switch stage 2 to the LSH/ANN "
+            "join in phonlp_spark/ops/similarity.py.")
     alias_surfs = [r["nsurf"] for r in alias_rows]
     alias_ids = [r["entity_id"] for r in alias_rows]
     if alias_surfs:

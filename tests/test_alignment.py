@@ -331,3 +331,126 @@ def test_aligned_metrics_lazy_with_cache_registry(spark):  # noqa: F811
     assert got["uas_permille"] == 1000
     for c in reg:
         c.unpersist()
+
+
+# --- MLAS / BLEX parity vs the reference evaluator ------------------
+
+def _conllu_full(sentences):
+    """sentences: list of list of
+    (id_or_range, form, lemma, upos, feats, head, deprel)."""
+    out = []
+    for sent in sentences:
+        for tid, form, lemma, upos, feats, head, rel in sent:
+            mw = "-" in str(tid)
+            cols = [str(tid), form,
+                    "_" if mw else lemma, "_" if mw else upos, "_",
+                    "_" if mw else feats,
+                    "_" if mw else str(head), "_" if mw else rel, "_", "_"]
+            out.append("\t".join(cols))
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+def _full_df(spark, sent, doc="d0"):  # noqa: F811
+    span_rows = _rows_from_conllu_sent([(t, f) for (t, f, *_r) in sent])
+    words = [(le, u, ft, h, r) for (t, f, le, u, ft, h, r) in sent
+             if "-" not in str(t)]
+    rows = [(doc, 0, tid, w, s, e, mw, *words[tid - 1])
+            for (tid, w, s, e, mw) in span_rows]
+    return spark.createDataFrame(
+        rows, "doc_id string, sent_id int, token_id int, word string, "
+              "span_start int, span_end int, is_multiword boolean, "
+              "lemma string, upos string, feats string, "
+              "head int, deprel string")
+
+
+# gold: 'du' MWT splits into de(case)+le(det) — both functional, so
+# they are x's functional children; feats carry non-universal noise
+# (Typo=Yes must be dropped at normalization) and unsorted order.
+GOLD_FULL = [
+    ("1", "ab", "ab", "V", "Mood=Ind|Tense=Pres", 0, "root"),
+    ("2", "c", "c", "N", "Number=Sing|Gender=Masc", 1, "nsubj"),
+    ("3-4", "du", "_", "_", "_", "_", "_"),
+    ("3", "de", "de", "ADP", "_", 5, "case"),
+    ("4", "le", "le", "DET", "Definite=Def", 5, "det"),
+    ("5", "x", "x", "N", "Typo=Yes|Number=Sing", 1, "obj"),
+]
+# A: identical analysis, feats listed in different raw order + the
+# non-universal Typo dropped -> must be fully correct
+SYSA_FULL = [
+    ("1", "ab", "ab", "V", "Tense=Pres|Mood=Ind", 0, "root"),
+    ("2", "c", "c", "N", "Gender=Masc|Number=Sing", 1, "nsubj"),
+    ("3-4", "du", "_", "_", "_", "_", "_"),
+    ("3", "de", "de", "ADP", "_", 5, "case"),
+    ("4", "le", "le", "DET", "Definite=Def", 5, "det"),
+    ("5", "x", "x", "N", "Number=Sing", 1, "obj"),
+]
+# B: wrong UPOS on a content word, a functional child's deprel changed
+# (det->case), one lemma wrong, one gold lemma '_' escape
+SYSB_FULL = [
+    ("1", "ab", "ab", "V", "Mood=Ind|Tense=Pres", 0, "root"),
+    ("2", "c", "WRONG", "A", "Number=Sing|Gender=Masc", 1, "nsubj"),
+    ("3-4", "du", "_", "_", "_", "_", "_"),
+    ("3", "de", "de", "ADP", "_", 5, "case"),
+    ("4", "le", "le", "DET", "Definite=Ind", 5, "case"),
+    ("5", "x", "x", "N", "Number=Sing", 1, "obj"),
+]
+# C: unsplit MWT (alignment loss) + head error
+SYSC_FULL = [
+    ("1", "ab", "ab", "V", "Mood=Ind|Tense=Pres", 0, "root"),
+    ("2", "c", "c", "N", "Number=Sing|Gender=Masc", 1, "nsubj"),
+    ("3", "du", "du", "ADP", "_", 4, "case"),
+    ("4", "x", "x", "N", 2, "obj"),
+][:3] + [("4", "x", "x", "N", "Number=Sing", 2, "obj")]
+
+
+@pytest.mark.parametrize("sys_sent", [SYSA_FULL, SYSB_FULL, SYSC_FULL])
+def test_mlas_matches_reference_module(spark, sys_sent):  # noqa: F811
+    import io
+    from phonlp_spark.ops.alignment import mlas_aligned
+
+    ud = _load_reference_udeval()
+    gold_ud = ud.load_conllu(io.StringIO(_conllu_full([GOLD_FULL])))
+    sys_ud = ud.load_conllu(io.StringIO(_conllu_full([sys_sent])))
+    want = ud.evaluate(gold_ud, sys_ud)["MLAS"]
+
+    got = mlas_aligned(_full_df(spark, GOLD_FULL),
+                       _full_df(spark, sys_sent)).collect()[0]
+    assert got["n_gold"] == want.gold_total
+    assert got["n_system"] == want.system_total
+    assert got["n_aligned"] == want.aligned_total
+    assert got["n_correct"] == want.correct
+
+
+@pytest.mark.parametrize("sys_sent", [SYSA_FULL, SYSB_FULL, SYSC_FULL])
+def test_blex_matches_reference_module(spark, sys_sent):  # noqa: F811
+    import io
+    from phonlp_spark.ops.alignment import blex_aligned
+
+    ud = _load_reference_udeval()
+    gold_ud = ud.load_conllu(io.StringIO(_conllu_full([GOLD_FULL])))
+    sys_ud = ud.load_conllu(io.StringIO(_conllu_full([sys_sent])))
+    want = ud.evaluate(gold_ud, sys_ud)["BLEX"]
+
+    got = blex_aligned(_full_df(spark, GOLD_FULL),
+                       _full_df(spark, sys_sent)).collect()[0]
+    assert got["n_gold"] == want.gold_total
+    assert got["n_system"] == want.system_total
+    assert got["n_aligned"] == want.aligned_total
+    assert got["n_correct"] == want.correct
+
+
+def test_blex_gold_underscore_lemma_escape(spark):  # noqa: F811
+    """A pair whose GOLD lemma is '_' counts lemma-correct whatever
+    the system produced (conll18_ud_eval.py:549)."""
+    from phonlp_spark.ops.alignment import blex_aligned
+    schema = ("doc_id string, sent_id int, token_id int, word string, "
+              "head int, deprel string, lemma string")
+    gold = spark.createDataFrame(
+        [("d", 0, 1, "a", 0, "root", "_"), ("d", 0, 2, "b", 1, "obj", "bb")],
+        schema)
+    syst = spark.createDataFrame(
+        [("d", 0, 1, "a", 0, "root", "anything"),
+         ("d", 0, 2, "b", 1, "obj", "bb")], schema)
+    got = blex_aligned(gold, syst).collect()[0]
+    assert got["n_correct"] == 2

@@ -70,5 +70,5 @@ def test_alias_inventory_cap_fails_fast(spark, monkeypatch):  # noqa: F811
     alias = L.build_alias_dict(
         spark, [f"Entity_{i}_Long_Name" for i in range(10)])
     surfaces = spark.createDataFrame([("whatever",)], "nsurf string")
-    with pytest.raises(ValueError, match="alias inventory has .* over the 3 cap"):
+    with pytest.raises(ValueError, match="alias inventory exceeds the 3-surface cap"):
         L.link_surfaces(surfaces, alias).collect()

@@ -69,7 +69,21 @@ def _kg_pipeline(spark, sf_dir: str):
     return n_docs, n_edges
 
 
-N_BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+def _env_int(name: str, default: int) -> int:
+    """Integer env knob: the env value, when set, is used DIRECTLY (an
+    override, not a floor) and validated up front so a typo fails the
+    suite at start, not mid-measurement."""
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        raise SystemExit(f"{name} must be an integer, got {v!r}")
+
+
+N_BENCH_RUNS = _env_int("SPARK_GRAFT_BENCH_RUNS", 3)
+N_KG_RUNS = _env_int("SPARK_GRAFT_KG_RUNS", 5)
 
 
 def run_suite(master: str, sf_dir: str) -> dict:
@@ -98,8 +112,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
     # made r3's kg series span 67/48/27 s (VERDICT r3 #3)
     _kg_pipeline(spark, sf_dir)
     kg_runs, kg_out = [], (0, 0)
-    for _ in range(max(N_BENCH_RUNS, int(os.environ.get(
-            "SPARK_GRAFT_KG_RUNS", "5")))):
+    for _ in range(N_KG_RUNS):
         t0 = time.time()
         kg_out = _kg_pipeline(spark, sf_dir)
         kg_runs.append(round(time.time() - t0, 3))
@@ -132,33 +145,66 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "kg_docs_per_sec": docs_per_sec,
         "master": master,
     }
+
+    # first-class big-input KG headline (VERDICT r4 #6): the sf0.1
+    # pipeline (5k docs, ~7 s) is fixed-cost-dominated, so round-over-
+    # round throughput is tracked in the regime the 100-TB design point
+    # describes — the 320k-doc scaling input.  Kept OUT of "value"
+    # (the sf0.1 suite wall) so that number stays comparable across
+    # rounds.  Skip with SPARK_GRAFT_SKIP_BIG=1 for quick iterations.
+    if not _env_int("SPARK_GRAFT_SKIP_BIG", 0):
+        big_docs = _env_int("SPARK_GRAFT_BIG_DOCS", 320000)
+        _ensure_scale_input(big_docs, spark=spark)  # synth untimed
+        big_runs, big_edges = [], 0
+        for _ in range(_env_int("SPARK_GRAFT_BIG_RUNS", 3)):
+            t0 = time.time()
+            _nd, big_edges = _scaling_job(spark, big_docs)
+            big_runs.append(round(time.time() - t0, 3))
+        out["kg_big_docs"] = big_docs
+        out["kg_big_runs"] = big_runs
+        out["kg_big_wall_sec"] = min(big_runs)
+        out["kg_big_docs_per_sec"] = round(big_docs / min(big_runs), 2)
+        out["kg_big_edges"] = big_edges
+
     spark.stop()
     return out
 
 
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "80000"))
-SCALE_PATH = f"/tmp/phonlp_scale_docs_{SCALE_DOCS}.parquet"
+SCALE_DOCS = _env_int("SPARK_GRAFT_SCALE_DOCS", 320000)
 
 
-def _ensure_scale_input() -> str:
+def _scale_path(n_docs: int) -> str:
+    return f"/tmp/phonlp_scale_docs_{n_docs}.parquet"
+
+
+def _ensure_scale_input(n_docs: int | None = None, spark=None) -> str:
     """Deterministic interleaved documents table for the scaling runs
     (FIXTURES.md synthesizer, seed 42) — written once, read by both
     parallelism levels.  Sized so the annotation kernel dominates the
-    fixed per-job costs; sf0.1's 5000 docs are overhead-bound."""
-    if os.path.exists(os.path.join(SCALE_PATH, "_SUCCESS")):
-        return SCALE_PATH
+    fixed per-job costs; sf0.1's 5000 docs are overhead-bound.
+
+    ``spark``: reuse an existing session (getOrCreate would return the
+    caller's session anyway, and stopping it here would kill the
+    caller's suite mid-run)."""
+    n_docs = SCALE_DOCS if n_docs is None else n_docs
+    path = _scale_path(n_docs)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     from phonlp_spark.pipeline.ingest import synth_documents
     from phonlp_spark.pipeline.session import get_spark
 
-    spark = get_spark(master="local[8]", app_name="phonlp_scale_synth")
-    spark.sparkContext.setLogLevel("ERROR")
-    synth_documents(spark, SCALE_DOCS, seed=42).repartition(32) \
-        .write.mode("overwrite").parquet(SCALE_PATH)
-    spark.stop()
-    return SCALE_PATH
+    own = spark is None
+    if own:
+        spark = get_spark(master="local[8]", app_name="phonlp_scale_synth")
+        spark.sparkContext.setLogLevel("ERROR")
+    synth_documents(spark, n_docs, seed=42).repartition(32) \
+        .write.mode("overwrite").parquet(path)
+    if own:
+        spark.stop()
+    return path
 
 
-def _scaling_job(spark) -> tuple[int, int]:
+def _scaling_job(spark, n_docs: int | None = None) -> tuple[int, int]:
     """The flagship KG job on the synthesized interleaved table, with a
     fixture alias dictionary (no data-derived collects — every job in
     here is pipeline work, not measurement scaffolding)."""
@@ -168,7 +214,8 @@ def _scaling_job(spark) -> tuple[int, int]:
     from phonlp_spark.pipeline.linking import build_alias_dict
     from phonlp_spark.pipeline.materialize import build_graph
 
-    docs = spark.read.parquet(_ensure_scale_input())
+    n_docs = SCALE_DOCS if n_docs is None else n_docs
+    docs = spark.read.parquet(_ensure_scale_input(n_docs, spark=spark))
     n = spark.sparkContext.defaultParallelism
     annotated = annotate_sentences_df(split_sentences(docs),
                                       salt_partitions=2 * n,
@@ -182,7 +229,7 @@ def _scaling_job(spark) -> tuple[int, int]:
     n_edges = edges.count()
     mt.unpersist()
     spark.catalog.clearCache()
-    return SCALE_DOCS, n_edges
+    return n_docs, n_edges
 
 
 N_WARMS = int(os.environ.get("SPARK_GRAFT_SCALE_WARMS", "3"))
@@ -274,9 +321,137 @@ def run_scaling(sf_dir: str) -> None:
 
 
 
+def _scaling_server(master: str) -> None:
+    """Child REPL for the interleaved protocol: ONE pinned long-lived
+    session; 'RUN' on stdin runs the full KG job once and prints a
+    'RESULT {json}' line; 'QUIT' exits.  Keeping the session alive
+    across commands is what makes every commanded run warm — the
+    driver alternates RUN commands between the two levels' servers."""
+    from phonlp_spark.pipeline.session import get_spark
+
+    spark = get_spark(master=master, app_name="phonlp_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "QUIT":
+            break
+        if cmd != "RUN":
+            continue
+        t0 = time.time()
+        n_docs, n_edges = _scaling_job(spark)
+        print("RESULT " + json.dumps({
+            "wall_sec": round(time.time() - t0, 3),
+            "docs": n_docs, "edges": n_edges}), flush=True)
+    spark.stop()
+
+
+N_ROUNDS = _env_int("SPARK_GRAFT_SCALE_ROUNDS", 3)
+HI_RUNS_PER_ROUND = _env_int("SPARK_GRAFT_SCALE_HI_RUNS", 2)
+
+
+def run_scaling_interleaved(sf_dir: str) -> None:
+    """Noise-robust form of the N -> 4N scaling evidence (VERDICT r4
+    next-round #1).
+
+    The block protocol (run_scaling: all-N then all-4N) is exposed to
+    host drift BETWEEN the blocks: this sandbox's shared host adds
+    bursty interference that hits the 4N level's short walls hardest
+    (measured 76% spread at local[32] vs 17% at local[8] across
+    sessions).  Here both pinned sessions stay alive and the levels run
+    ALTERNATELY — N, 4N, 4N, N, 4N, 4N, ... — so a slow host window
+    lands on adjacent runs of BOTH levels and cancels in the PAIRED
+    ratio; the 4N level gets HI_RUNS_PER_ROUND runs per round (its
+    spread is ~4x the N level's, so it needs more draws per pair).
+    Only one server computes at any instant (the driver serializes RUN
+    commands), so the two sessions never contend for cores.
+
+    Reported: every pair's efficiency, the best and median pair, and
+    the session-min ratio (min over all N walls vs min over all 4N
+    walls — the old protocol's statistic, for continuity)."""
+    import statistics
+
+    _ensure_scale_input()
+    lo, hi = SCALE_PAIR
+    assert hi == 4 * lo, "north rule compares N to 4N"
+
+    def spawn(n):
+        return subprocess.Popen(
+            _pin_prefix(n)
+            + [sys.executable, __file__, "--scaling-server", f"local[{n}]"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+
+    def run_once(p):
+        p.stdin.write("RUN\n")
+        p.stdin.flush()
+        for line in p.stdout:
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError("scaling server exited without a RESULT")
+
+    p_lo, p_hi = spawn(lo), spawn(hi)
+    try:
+        cold_lo, cold_hi = run_once(p_lo), run_once(p_hi)
+        assert cold_lo["edges"] == cold_hi["edges"]  # output parity
+        pairs, lo_walls, hi_walls = [], [], []
+        for i in range(N_ROUNDS):
+            r_lo = run_once(p_lo)
+            r_his = [run_once(p_hi) for _ in range(HI_RUNS_PER_ROUND)]
+            assert all(r["edges"] == r_lo["edges"] for r in r_his)
+            t_lo = r_lo["wall_sec"]
+            t_hi = min(r["wall_sec"] for r in r_his)
+            pairs.append({
+                "round": i, "lo_wall": t_lo,
+                "hi_walls": [r["wall_sec"] for r in r_his],
+                "efficiency": round(t_lo / (4.0 * t_hi), 3)})
+            lo_walls.append(t_lo)
+            hi_walls.extend(r["wall_sec"] for r in r_his)
+            print(json.dumps({"progress": pairs[-1]}), file=sys.stderr)
+    finally:
+        for p in (p_lo, p_hi):
+            try:
+                p.stdin.write("QUIT\n")
+                p.stdin.flush()
+            except Exception:
+                pass
+        p_lo.wait(timeout=120)
+        p_hi.wait(timeout=120)
+
+    effs = [p["efficiency"] for p in pairs]
+    docs = cold_lo["docs"]
+    record = {
+        "mode": "interleaved", "pair": [lo, hi], "docs": docs,
+        "rounds": N_ROUNDS, "hi_runs_per_round": HI_RUNS_PER_ROUND,
+        "pinned": bool(_pin_prefix(lo)),
+        "cold_walls": {"lo": cold_lo["wall_sec"], "hi": cold_hi["wall_sec"]},
+        "pairs": pairs,
+        "best_pair_efficiency": max(effs),
+        "median_pair_efficiency": round(statistics.median(effs), 3),
+        "session_min_efficiency": round(
+            min(lo_walls) / (4.0 * min(hi_walls)), 3),
+        "lo_docs_per_sec": round(docs / min(lo_walls), 2),
+        "hi_docs_per_sec": round(docs / min(hi_walls), 2),
+        "edges": cold_lo["edges"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    try:
+        with open(RUNS_JSON) as f:
+            log = json.load(f)
+    except FileNotFoundError:
+        log = []
+    log.append(record)
+    with open(RUNS_JSON, "w") as f:
+        json.dump(log, f, indent=1)
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(sys.argv[2], sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-server":
+        _scaling_server(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-interleaved":
+        run_scaling_interleaved(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
     else:

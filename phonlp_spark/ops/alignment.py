@@ -150,12 +150,21 @@ def align_tokens(gold: DataFrame, system: DataFrame,
     def prep(df):
         if "span_start" not in df.columns:
             df = with_char_spans(df, word_col)
+        # every output column goes through cast+alias: each prep() call
+        # then carries FRESH attribute ids.  Bare pass-through refs
+        # would share ids between the two sides when gold and system
+        # come from the same plan (e.g. scoring a table against
+        # itself), and Spark's DeduplicateRelations mangles a cogrouped
+        # applyInPandas child in that case — the worker receives the
+        # system-side batch without the pass-through columns.
         return df.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col("sent_id").cast("int").alias("sent_id"),
             F.col("token_id").cast("int").alias("token_id"),
-            F.col(word_col).alias("word"),
-            "span_start", "span_end", "is_multiword")
+            F.col(word_col).cast("string").alias("word"),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            F.col("is_multiword").cast("boolean").alias("is_multiword"))
 
     def align(key, gpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         def rows(pdf):
@@ -217,14 +226,18 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame,
     Inputs: (doc_id, sent_id, token_id, word, head, deprel).  One row:
     (n_aligned, uas_permille, las_permille), integer DIV only.
 
-    EAGER by default: with cache_registry=None this triggers the
-    alignment job and collects the single summary row inside the call
-    (so the cogrouped alignment cache never leaks past it).  Callers
-    composing lazy plans pass a list instead — the cached alignment is
-    appended to it and a lazy one-row plan is returned; the caller owns
-    materialization and unpersist timing (the build_graph convention).
+    LAZY: returns a one-row plan; nothing is cached or collected here
+    (composition-safe — the caller decides when jobs run).  The
+    alignment subtree appears more than once in the plan and recomputes
+    per reference by default; callers scoring many metrics over one
+    alignment pass ``cache_registry`` (a list) — the cogrouped
+    alignment is cached and appended so THEY own unpersist timing (the
+    build_graph convention).
     """
-    aligned = align_tokens(gold, system).cache()
+    aligned = align_tokens(gold, system)
+    if cache_registry is not None:
+        aligned = aligned.cache()
+        cache_registry.append(aligned)
     # map each side's head index to its aligned counterpart: an arc is
     # correct when the head of the gold word aligns to the head of the
     # system word (root, head 0, matches root)
@@ -241,14 +254,7 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame,
         .alias("uas_permille"),
         F.expr("CAST((n_la * 1000) DIV greatest(n_aligned, 1) AS INT)")
         .alias("las_permille"))
-    if cache_registry is not None:
-        cache_registry.append(aligned)
-        return out
-    # eager default: one summary row, collected here so the cogrouped
-    # alignment cache can be released instead of leaking past the call
-    row = out.collect()[0]
-    aligned.unpersist()
-    return gold.sparkSession.createDataFrame([row], out.schema)
+    return out
 
 
 def aligned_field_score(gold: DataFrame, system: DataFrame,
@@ -263,10 +269,13 @@ def aligned_field_score(gold: DataFrame, system: DataFrame,
     (n_gold, n_system, n_aligned, n_correct, precision_permille,
     recall_permille, f1_permille, aligned_acc_permille), integer DIV.
 
-    EAGER by default (collects its one row inside the call); pass
-    cache_registry for a lazy plan — see uas_las_aligned.
+    LAZY (see uas_las_aligned): pass cache_registry to cache the
+    shared alignment and own its unpersist timing.
     """
-    aligned = align_tokens(gold, system).cache()
+    aligned = align_tokens(gold, system)
+    if cache_registry is not None:
+        aligned = aligned.cache()
+        cache_registry.append(aligned)
     g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
                     F.col(field).alias("g_f"))
     s = system.select(*SENT_KEY, F.col("token_id").alias("system_token_id"),
@@ -292,12 +301,7 @@ def aligned_field_score(gold: DataFrame, system: DataFrame,
                       " 1) AS INT)").alias("f1_permille"),
                F.expr("CAST((n_correct * 1000) DIV greatest(n_aligned, 1)"
                       " AS INT)").alias("aligned_acc_permille")))
-    if cache_registry is not None:
-        cache_registry.append(aligned)
-        return out
-    row = out.collect()[0]
-    aligned.unpersist()
-    return gold.sparkSession.createDataFrame([row], out.schema)
+    return out
 
 
 # The UD content relations (reference conll18_ud_eval.py:105-135);
@@ -324,10 +328,13 @@ def clas_aligned(gold: DataFrame, system: DataFrame,
     One row: (n_gold, n_system, n_aligned, n_correct,
     precision_permille, recall_permille, f1_permille), integer DIV only.
 
-    EAGER by default (collects its one row inside the call); pass
-    cache_registry for a lazy plan — see uas_las_aligned.
+    LAZY (see uas_las_aligned): pass cache_registry to cache the
+    shared alignment and own its unpersist timing.
     """
-    aligned = align_tokens(gold, system).cache()
+    aligned = align_tokens(gold, system)
+    if cache_registry is not None:
+        aligned = aligned.cache()
+        cache_registry.append(aligned)
     j = _aligned_arcs(gold, system, aligned)
     content = F.col("g_rel").isin(*sorted(CONTENT_DEPRELS))
     ua = (F.col("g_head") == 0) & (F.col("s_head") == 0) | (
@@ -355,12 +362,7 @@ def clas_aligned(gold: DataFrame, system: DataFrame,
                .alias("recall_permille"),
                F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
                       " AS INT)").alias("f1_permille")))
-    if cache_registry is not None:
-        cache_registry.append(aligned)
-        return out
-    row = out.collect()[0]
-    aligned.unpersist()
-    return gold.sparkSession.createDataFrame([row], out.schema)
+    return out
 
 
 # The UD functional relations whose dependents ride along in MLAS
@@ -438,10 +440,12 @@ def mlas_aligned(gold: DataFrame, system: DataFrame,
     upos, feats); feats may be raw CoNLL-U strings — normalized here
     exactly as the reference does at load.  One row: (n_gold,
     n_system, n_aligned, n_correct, precision_permille,
-    recall_permille, f1_permille).  EAGER by default; pass
-    cache_registry for a lazy plan — see uas_las_aligned.
+    recall_permille, f1_permille).  LAZY (see uas_las_aligned).
     """
-    aligned = align_tokens(gold, system).cache()
+    aligned = align_tokens(gold, system)
+    if cache_registry is not None:
+        aligned = aligned.cache()
+        cache_registry.append(aligned)
     j = _aligned_arcs(gold, system, aligned)
     g_attr = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
                          F.col("upos").alias("g_upos"),
@@ -491,12 +495,7 @@ def mlas_aligned(gold: DataFrame, system: DataFrame,
                .alias("recall_permille"),
                F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
                       " AS INT)").alias("f1_permille")))
-    if cache_registry is not None:
-        cache_registry.append(aligned)
-        return out
-    row = out.collect()[0]
-    aligned.unpersist()
-    return gold.sparkSession.createDataFrame([row], out.schema)
+    return out
 
 
 def blex_aligned(gold: DataFrame, system: DataFrame,
@@ -507,9 +506,12 @@ def blex_aligned(gold: DataFrame, system: DataFrame,
     lemma-correct regardless of the system lemma (both key_fns
     collapse to '_').  Inputs: (doc_id, sent_id, token_id, word,
     head, deprel, lemma).  One row, same shape as clas_aligned.
-    EAGER by default; pass cache_registry for a lazy plan.
+    LAZY (see uas_las_aligned).
     """
-    aligned = align_tokens(gold, system).cache()
+    aligned = align_tokens(gold, system)
+    if cache_registry is not None:
+        aligned = aligned.cache()
+        cache_registry.append(aligned)
     j = _aligned_arcs(gold, system, aligned)
     g_l = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
                       F.col("lemma").alias("g_lemma"))
@@ -546,9 +548,4 @@ def blex_aligned(gold: DataFrame, system: DataFrame,
                .alias("recall_permille"),
                F.expr("CAST((n_correct * 2000) DIV greatest(n_gold + n_system, 1)"
                       " AS INT)").alias("f1_permille")))
-    if cache_registry is not None:
-        cache_registry.append(aligned)
-        return out
-    row = out.collect()[0]
-    aligned.unpersist()
-    return gold.sparkSession.createDataFrame([row], out.schema)
+    return out

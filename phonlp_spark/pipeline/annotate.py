@@ -63,17 +63,19 @@ _KEY_COLS = ("doc_id", "span_idx", "sent_id")
 _KERNEL_CACHE: dict[str, object] = {}
 
 
-def _factory_key(kernel_factory) -> str:
+def _factory_key(kernel_factory) -> str | None:
     """Stable cache key computed DRIVER-side: each task deserializes a
     fresh factory object, so id() can't key the worker cache — the
-    cloudpickle byte digest can (identical bytes -> identical kernel)."""
+    cloudpickle byte digest can (identical bytes -> identical kernel).
+    Returns None when the factory can't be digested: any name-based
+    fallback could collide across distinct factories sharing a
+    qualname, so an un-digestible factory is simply not memoized."""
     import hashlib
     try:
         from pyspark import cloudpickle
         return hashlib.md5(cloudpickle.dumps(kernel_factory)).hexdigest()
     except Exception:
-        return (f"{getattr(kernel_factory, '__module__', '?')}."
-                f"{getattr(kernel_factory, '__qualname__', repr(kernel_factory))}")
+        return None
 
 
 def _worker_kernel(key: str | None, kernel_factory):
@@ -81,9 +83,17 @@ def _worker_kernel(key: str | None, kernel_factory):
 
     if kernel_factory is None:
         return default_kernel()
+    if key is None:
+        # no collision-safe key (see _factory_key): build per task
+        return kernel_factory()
     kernel = _KERNEL_CACHE.get(key)
     if kernel is None:
         kernel = kernel_factory()
+        # a stage runs ONE factory, so bound the cache to the most
+        # recent kernel — long-lived reused workers must not pile up
+        # one set of (potentially transformer-sized) weights per
+        # distinct factory across jobs
+        _KERNEL_CACHE.clear()
         _KERNEL_CACHE[key] = kernel
     return kernel
 

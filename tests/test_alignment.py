@@ -400,8 +400,8 @@ SYSC_FULL = [
     ("1", "ab", "ab", "V", "Mood=Ind|Tense=Pres", 0, "root"),
     ("2", "c", "c", "N", "Number=Sing|Gender=Masc", 1, "nsubj"),
     ("3", "du", "du", "ADP", "_", 4, "case"),
-    ("4", "x", "x", "N", 2, "obj"),
-][:3] + [("4", "x", "x", "N", "Number=Sing", 2, "obj")]
+    ("4", "x", "x", "N", "Number=Sing", 2, "obj"),
+]
 
 
 @pytest.mark.parametrize("sys_sent", [SYSA_FULL, SYSB_FULL, SYSC_FULL])

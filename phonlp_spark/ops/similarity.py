@@ -420,6 +420,93 @@ def ivf_cells_trained(embeddings: DataFrame, n_cells: int = 8,
     return vq.select("vec_id", cell.alias("cell"))
 
 
+def ivf_probed_cells_trained(embeddings: DataFrame, n_probe: int = 2,
+                             n_cells: int = 8, iters: int = 3,
+                             sample_mod: int = 2, seed: int = 11,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             cents_rows: list[tuple[int, list[int]]] | None = None
+                             ) -> DataFrame:
+    """(vec_id, cell): each vector assigned to its ``n_probe`` nearest
+    trained cells (first row per vector == ivf_cells_trained's home
+    cell; n_probe=1 degenerates to it exactly).
+
+    Still a pure per-row projection — the cell ranking is an in-row
+    array sort over n_cells integer scores (negated so ascending
+    array_sort realizes score-desc with smallest-cell tie rule), so
+    the corpus never shuffles for assignment; output is n_probe rows
+    per vector."""
+    rows = cents_rows if cents_rows is not None else trained_centroids_rows(
+        embeddings, n_cells, iters, sample_mod, seed, id_col, vec_col)
+    vq = quantized_vecs(embeddings, id_col, vec_col)
+    scores = _scores_arr_q(rows, F.col("vq"))
+    ranked = F.array_sort(F.transform(
+        scores, lambda sc, i: F.struct((-sc).alias("ns"),
+                                       i.alias("cell"))))
+    probes = F.slice(ranked, 1, n_probe)
+    return (vq.select("vec_id", F.explode(probes).alias("p"))
+            .select("vec_id", F.col("p.cell").cast("int").alias("cell")))
+
+
+def lsh_buckets_multiprobe(embeddings: DataFrame, n_tables: int = 4,
+                           planes: int = LSH_PLANES, seed: int = 7,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, table_id, bucket): multi-table buckets EXPANDED to the
+    full Hamming-1 neighborhood — each row also probes every bucket
+    one sign-flip away (planes+1 rows per vector per table).
+
+    A hyperplane code's nearest misses are overwhelmingly single-bit
+    flips (the query sits close to one hyperplane), so probing the
+    flip set recovers most of the recall OR-amplification alone leaves
+    behind (measured in the quality_recall gate) at (planes+1)x
+    candidate cost on ONE side.  Callers expand the QUERY side only —
+    the corpus side keeps its exact buckets — so the corpus assignment
+    stays a per-row projection of n_tables rows."""
+    mb = lsh_buckets_multi(embeddings, n_tables, planes, seed,
+                           id_col, vec_col)
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << p for p in range(planes)]])
+    return (mb.select("vec_id", "table_id", "bucket",
+                      F.explode(masks).alias("_m"))
+            .select("vec_id", "table_id",
+                    F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket")))
+
+
+def ann_topk_lsh_multiprobe(embeddings: DataFrame, query_ids: list[int],
+                            k: int = 5, n_tables: int = 4,
+                            planes: int = LSH_PLANES, seed: int = 7,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Multiprobe multi-table LSH top-k: candidates collide with the
+    query's own bucket OR any Hamming-1 perturbation of it, per table;
+    union deduped, then exact cosine rescoring.  Query-side-only
+    expansion: |queries| * n_tables * (planes+1) probe rows against
+    the unexpanded corpus assignment."""
+    mb = lsh_buckets_multi(embeddings, n_tables, planes, seed,
+                           id_col, vec_col)
+    qb = (lsh_buckets_multiprobe(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        n_tables, planes, seed, id_col, vec_col)
+        .select(F.col("vec_id").alias("query_id"), "table_id", "bucket"))
+    cand = (mb.join(F.broadcast(qb), ["table_id", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    e_q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    e_n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cvec"))
+    scored = (cand.join(F.broadcast(e_q), "query_id")
+              .join(e_n, "neighbor_id")
+              .withColumn("cos", dot(F.col("qvec"), F.col("cvec"))
+                          / (norm(F.col("qvec")) * norm(F.col("cvec")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def ann_topk_ivf_trained(embeddings: DataFrame, query_ids: list[int],
                          k: int = 5, n_probe: int = 2, n_cells: int = 8,
                          iters: int = 3, sample_mod: int = 2, seed: int = 11,
@@ -482,27 +569,41 @@ def embedding_near_dups_ivf(embeddings: DataFrame,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             cents_rows: list[tuple[int, list[int]]] | None = None,
-                            max_bucket_size: int | None = 100_000) -> DataFrame:
-    """Near-dup pairs with trained-IVF-cell candidates: pairs sharing a
-    k-means cell (shuffle-free assignment), exact-cosine thresholded.
-    On clustered embeddings the cells track the actual neighborhoods,
-    so candidate recall beats hyperplane bucketing — measured by
-    dedup_embedding_recall.  ``cents_rows`` skips the fit when
-    precomputed; ``max_bucket_size`` drops over-full cells from pair
-    generation (hot-bucket guard, see embedding_near_dups)."""
+                            max_bucket_size: int | None = 100_000,
+                            n_probe: int = 2) -> DataFrame:
+    """Near-dup pairs with trained-IVF candidates: pairs sharing ANY of
+    each vector's ``n_probe`` nearest k-means cells (shuffle-free
+    per-row assignment), deduped, exact-cosine thresholded.
+
+    n_probe=1 is the classic same-cell generator; its measured miss
+    mode (VERDICT r4 next-round #4) is true pairs STRADDLING a cell
+    boundary — both members near the edge of adjacent cells.  Probing
+    each vector's second-nearest cell makes such a pair collide in one
+    of the probed cells at n_probe x candidate cost, the same
+    neighbor-cell expansion ann_topk_ivf_trained applies on the query
+    side.  On clustered embeddings the cells track the actual
+    neighborhoods, so candidate recall beats hyperplane bucketing —
+    measured by the quality_recall gate.  ``cents_rows`` skips the fit
+    when precomputed; probed cell groups over ``max_bucket_size`` rows
+    are dropped from pair generation (hot-bucket guard, see
+    embedding_near_dups)."""
     cells = drop_hot_buckets(
-        ivf_cells_trained(embeddings, n_cells, iters, sample_mod,
-                          seed, id_col, vec_col, cents_rows=cents_rows),
+        ivf_probed_cells_trained(embeddings, n_probe, n_cells, iters,
+                                 sample_mod, seed, id_col, vec_col,
+                                 cents_rows=cents_rows),
         ["cell"], max_bucket_size)
-    e = embeddings.join(cells, embeddings[id_col] == cells["vec_id"]) \
-        .select(cells["vec_id"], F.col(vec_col).alias("v"), "cell")
-    left = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
-                    "cell")
-    right = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
-                     "cell")
+    cand = (
+        cells.alias("l").join(cells.alias("r"), "cell")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    e_a = embeddings.select(F.col(id_col).alias("a"),
+                            F.col(vec_col).alias("va"))
+    e_b = embeddings.select(F.col(id_col).alias("b"),
+                            F.col(vec_col).alias("vb"))
     return (
-        left.join(right, "cell")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(e_a, "a").join(e_b, "b")
         .withColumn("cos", dot(F.col("va"), F.col("vb"))
                     / (norm(F.col("va")) * norm(F.col("vb"))))
         .withColumn("cos_x1000", F.round(F.col("cos") * 1000).cast("int"))

@@ -116,7 +116,8 @@ def nodes_from_linked(linked_mentions: DataFrame, canon_text: DataFrame) -> Data
 
 
 def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame,
-                cache_registry: list | None = None):
+                cache_registry: list | None = None,
+                linking_strategy: str = "auto"):
     """Linking -> canonicalization -> graph tables (no IO).
 
     Returns (linked_mentions_with_canonical_id, nodes, edges).
@@ -136,7 +137,8 @@ def build_graph(mentions: DataFrame, triples: DataFrame, alias_dict: DataFrame,
     from phonlp_spark.pipeline.linking import link_surfaces, norm_surface
 
     m = mentions.withColumn("nsurf", norm_surface(F.col("text")))
-    surf_ent = link_surfaces(m.select("nsurf").distinct(), alias_dict).cache()
+    surf_ent = link_surfaces(m.select("nsurf").distinct(), alias_dict,
+                             strategy=linking_strategy).cache()
 
     # canonicalization at entity grain (bounded by |alias dict| +
     # |distinct surfaces|)
@@ -180,6 +182,7 @@ def run_kg(
     salt_partitions: int | None = None,
     resume: bool = True,
     dedup: bool = False,
+    linking_strategy: str = "auto",
 ) -> dict:
     """Full KG construction with per-bucket lineage; returns run stats.
 
@@ -247,7 +250,8 @@ def run_kg(
     caches = [mentions, triples]
 
     linked_canon, _nodes, edges = build_graph(
-        mentions, triples, alias_dict, cache_registry=caches)
+        mentions, triples, alias_dict, cache_registry=caches,
+        linking_strategy=linking_strategy)
 
     # writes (bucket-partitioned; dynamic overwrite = idempotent re-run)
     ann.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/annotations")

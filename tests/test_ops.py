@@ -431,3 +431,70 @@ def test_text_profile_matches_component_ops(spark, docs):  # noqa: F811
         assert p["lang_pred"] == li[d]["lang_pred"]
         assert (p["en_hits"], p["vi_hits"]) == (li[d]["en_hits"], li[d]["vi_hits"])
         assert p["fingerprint"] == fp[d]["fingerprint"]
+
+
+def test_ivf_probed_cells_superset_of_home_cells(spark):  # noqa: F811
+    """n_probe=1 must equal ivf_cells_trained exactly; n_probe=2 must
+    contain it and assign every vector to exactly two distinct cells."""
+    emb = _clustered_emb(spark, n=60, n_clusters=4)
+    home = {(r["vec_id"], r["cell"]) for r in
+            similarity.ivf_cells_trained(emb, n_cells=4).collect()}
+    p1 = {(r["vec_id"], r["cell"]) for r in
+          similarity.ivf_probed_cells_trained(emb, n_probe=1,
+                                              n_cells=4).collect()}
+    assert p1 == home
+    p2 = [(r["vec_id"], r["cell"]) for r in
+          similarity.ivf_probed_cells_trained(emb, n_probe=2,
+                                              n_cells=4).collect()]
+    assert home <= set(p2)
+    assert len(p2) == len(set(p2)) == 2 * 60
+
+
+def test_ivf_near_dup_probing_lifts_candidate_recall(spark):  # noqa: F811
+    """The r4-measured miss mode: true pairs straddling a cell
+    boundary.  n_probe=2 must retrieve a superset of n_probe=1's pairs
+    and stay a subset of the brute-force threshold set."""
+    emb = _clustered_emb(spark, n=90, n_clusters=5)
+    thr = 800
+    left = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    right = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = similarity.dot(F.col("va"), F.col("vb")) / (
+        similarity.norm(F.col("va")) * similarity.norm(F.col("vb")))
+    exact = {(r["a"], r["b"]) for r in
+             left.join(right, F.col("a") < F.col("b"))
+             .filter(F.round(cos * 1000) >= thr).collect()}
+    p1 = {(r["a"], r["b"]) for r in similarity.embedding_near_dups_ivf(
+        emb, min_cos_x1000=thr, n_cells=5, n_probe=1).collect()}
+    p2 = {(r["a"], r["b"]) for r in similarity.embedding_near_dups_ivf(
+        emb, min_cos_x1000=thr, n_cells=5, n_probe=2).collect()}
+    assert p1 <= p2 <= exact
+    assert len(p2) > len(p1)  # the fixture has boundary-straddlers
+
+
+def test_lsh_multiprobe_expands_hamming1_neighborhood(spark):  # noqa: F811
+    """Every query row expands to exactly planes+1 probe buckets — its
+    own plus each single-bit flip — and multiprobe retrieval must
+    dominate plain multi-table recall on the same parameters."""
+    emb = _clustered_emb(spark, n=80, n_clusters=4)
+    planes = 6
+    probes = similarity.lsh_buckets_multiprobe(
+        emb.filter(F.col("vec_id") == 0), n_tables=2, planes=planes).collect()
+    by_table = {}
+    for r in probes:
+        by_table.setdefault(r["table_id"], []).append(r["bucket"])
+    for t, buckets in by_table.items():
+        assert len(buckets) == planes + 1
+        base = [b for b in buckets
+                if sum(1 for o in buckets if bin(b ^ o).count("1") == 1)
+                == planes]
+        assert len(base) == 1  # one center, all others 1 flip away
+
+    qids = list(range(10))
+    exact = similarity.cosine_topk(emb, qids, k=5)
+    multi = similarity.ann_topk_lsh_multi(emb, qids, k=5,
+                                          n_tables=4, planes=planes)
+    mprobe = similarity.ann_topk_lsh_multiprobe(emb, qids, k=5,
+                                                n_tables=4, planes=planes)
+    r_multi = similarity.recall_vs_exact(exact, multi, "m").collect()[0]
+    r_probe = similarity.recall_vs_exact(exact, mprobe, "p").collect()[0]
+    assert r_probe["recall_permille"] >= r_multi["recall_permille"]

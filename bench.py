@@ -321,14 +321,62 @@ def run_scaling(sf_dir: str) -> None:
 
 
 
+def _cpu_snapshot(root_pid: int) -> tuple[int, int]:
+    """(host_busy_ticks, own_tree_ticks) at this instant.
+
+    host_busy = all /proc/stat cpu ticks minus idle+iowait; own_tree =
+    utime+stime summed over root_pid and every live descendant (the
+    Spark JVM and its reused pyspark.daemon workers are persistent
+    children, so a start/end delta captures their work).  Used by the
+    interleaved scaling protocol to measure how many cores OTHER host
+    tenants burned during a run: ext = host_busy_delta -
+    own_tree_delta.  Processes of ours that exit mid-run lose their
+    ticks from the end snapshot, inflating ext — the estimator is
+    conservative (over-reports contamination, never hides it)."""
+    with open("/proc/stat") as f:
+        cpu = f.readline().split()
+    vals = [int(x) for x in cpu[1:]]
+    host_busy = sum(vals) - vals[3] - vals[4]  # minus idle, iowait
+
+    procs: dict[int, tuple[int, int]] = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        # comm field may contain spaces/parens: split after last ')'
+        rest = st[st.rfind(")") + 2:].split()
+        procs[int(ent)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+
+    desc = {root_pid}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in desc and pid not in desc:
+                desc.add(pid)
+                grew = True
+    own = sum(t for pid, (_, t) in procs.items() if pid in desc)
+    return host_busy, own
+
+
 def _scaling_server(master: str) -> None:
     """Child REPL for the interleaved protocol: ONE pinned long-lived
     session; 'RUN' on stdin runs the full KG job once and prints a
     'RESULT {json}' line; 'QUIT' exits.  Keeping the session alive
     across commands is what makes every commanded run warm — the
-    driver alternates RUN commands between the two levels' servers."""
+    driver alternates RUN commands between the two levels' servers.
+
+    Each RESULT carries ext_cores / own_cores: average cores burned
+    during the run by other host tenants vs by this server's own
+    process tree (see _cpu_snapshot) — the driver's pre-registered
+    contamination rule (BENCH/BASELINE.md) keys off ext_cores."""
     from phonlp_spark.pipeline.session import get_spark
 
+    clk = os.sysconf("SC_CLK_TCK")
     spark = get_spark(master=master, app_name="phonlp_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
     for line in sys.stdin:
@@ -337,16 +385,27 @@ def _scaling_server(master: str) -> None:
             break
         if cmd != "RUN":
             continue
+        busy0, own0 = _cpu_snapshot(os.getpid())
         t0 = time.time()
         n_docs, n_edges = _scaling_job(spark)
+        wall = time.time() - t0
+        busy1, own1 = _cpu_snapshot(os.getpid())
+        own_sec = (own1 - own0) / clk
+        ext_sec = max(0.0, (busy1 - busy0) / clk - own_sec)
         print("RESULT " + json.dumps({
-            "wall_sec": round(time.time() - t0, 3),
-            "docs": n_docs, "edges": n_edges}), flush=True)
+            "wall_sec": round(wall, 3),
+            "docs": n_docs, "edges": n_edges,
+            "own_cores": round(own_sec / wall, 2),
+            "ext_cores": round(ext_sec / wall, 2)}), flush=True)
     spark.stop()
 
 
 N_ROUNDS = _env_int("SPARK_GRAFT_SCALE_ROUNDS", 3)
 HI_RUNS_PER_ROUND = _env_int("SPARK_GRAFT_SCALE_HI_RUNS", 2)
+# Pre-registered contamination threshold (BENCH/BASELINE.md): a run
+# during which other host tenants averaged more than this many cores
+# is contaminated and excluded from the clean-pair statistics.
+EXT_CORES_CLEAN = float(os.environ.get("SPARK_GRAFT_EXT_CORES_CLEAN", "1.0"))
 
 
 def run_scaling_interleaved(sf_dir: str) -> None:
@@ -400,10 +459,28 @@ def run_scaling_interleaved(sf_dir: str) -> None:
             assert all(r["edges"] == r_lo["edges"] for r in r_his)
             t_lo = r_lo["wall_sec"]
             t_hi = min(r["wall_sec"] for r in r_his)
-            pairs.append({
+            pair = {
                 "round": i, "lo_wall": t_lo,
                 "hi_walls": [r["wall_sec"] for r in r_his],
-                "efficiency": round(t_lo / (4.0 * t_hi), 3)})
+                "efficiency": round(t_lo / (4.0 * t_hi), 3)}
+            # Interference telemetry + the pre-registered contamination
+            # rule (BENCH/BASELINE.md): a run is clean iff other host
+            # tenants averaged <= 1.0 cores during it; a pair is clean
+            # iff its lo run is clean and >= 1 hi run is clean, and the
+            # clean efficiency uses min over CLEAN hi walls only.
+            # Older records (sessions 1-3) predate ext_cores.
+            if "ext_cores" in r_lo:
+                pair["lo_ext_cores"] = r_lo["ext_cores"]
+                pair["hi_ext_cores"] = [r["ext_cores"] for r in r_his]
+                clean_his = [r["wall_sec"] for r in r_his
+                             if r["ext_cores"] <= EXT_CORES_CLEAN]
+                pair["clean"] = (
+                    r_lo["ext_cores"] <= EXT_CORES_CLEAN
+                    and bool(clean_his))
+                if pair["clean"]:
+                    pair["clean_efficiency"] = round(
+                        t_lo / (4.0 * min(clean_his)), 3)
+            pairs.append(pair)
             lo_walls.append(t_lo)
             hi_walls.extend(r["wall_sec"] for r in r_his)
             print(json.dumps({"progress": pairs[-1]}), file=sys.stderr)
@@ -433,6 +510,18 @@ def run_scaling_interleaved(sf_dir: str) -> None:
         "hi_docs_per_sec": round(docs / min(hi_walls), 2),
         "edges": cold_lo["edges"],
     }
+    clean_effs = [p["clean_efficiency"] for p in pairs
+                  if p.get("clean")]
+    if any("clean" in p for p in pairs):
+        record["ext_cores_clean_threshold"] = EXT_CORES_CLEAN
+        record["clean_pairs"] = len(clean_effs)
+        if len(clean_effs) >= 2:
+            record["clean_median_efficiency"] = round(
+                statistics.median(clean_effs), 3)
+        else:
+            # < 2 clean pairs: the session says nothing about the
+            # engine either way (pre-registered VOID rule)
+            record["session_void"] = True
     os.makedirs("BENCH", exist_ok=True)
     try:
         with open(RUNS_JSON) as f:

@@ -174,11 +174,16 @@ def _score_misses_distributed(misses: DataFrame, alias_norm: DataFrame,
     from pyspark.sql.window import Window
     w = Window.partitionBy("nsurf").orderBy(
         F.col("_cos").desc(), F.col("entity_id").asc())
-    return (scored.withColumn("_rn", F.row_number().over(w))
+    top1 = (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("nsurf",
                     F.when(F.col("_cos") >= SIM_THRESHOLD,
                            F.col("entity_id")).alias("sim_id")))
+    # a miss sharing NO gram with any alias (or only hot-dropped grams)
+    # has no candidate rows and would vanish from top1 — re-attach it
+    # with a NULL sim_id so the caller mints a new id, exactly as the
+    # broadcast path does for below-threshold misses
+    return misses.join(top1, "nsurf", "left").select("nsurf", "sim_id")
 
 
 def link_surfaces(surfaces: DataFrame, alias_dict: DataFrame,

@@ -112,3 +112,38 @@ def test_distributed_stage2_never_collects_aliases(spark):  # noqa: F811
     out = L.link_surfaces(surfaces, alias, max_aliases=0,
                           strategy="distributed").collect()
     assert out[0]["entity_id"].startswith("E")
+
+
+def test_distributed_zero_candidate_miss_still_mints_id(spark):  # noqa: F811
+    """A miss sharing NO hashed gram with any alias has zero rows in
+    the inverted-index join; it must still come back with a minted X
+    id (the broadcast path scores every miss, so a dropped row would
+    be a silent path divergence — NULL entity_id downstream)."""
+    import numpy as np
+    import phonlp_spark.pipeline.linking as L
+
+    def grams(s):
+        b = ("  " + s + "  ").encode("utf-8")
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        return set(((a[:-2] * 961 + a[1:-1] * 31 + a[2:]) % L.SIM_DIM).tolist())
+
+    names, miss = ["aaaa_bbbb"], "ZZZZQQQQ"
+    # precondition: the constructed miss is gram-disjoint from every alias
+    alias_grams = set().union(*(grams(a.lower().replace("_", " "))
+                                for n in names
+                                for a in (n, n.replace("_", " "))))
+    assert not (grams(miss.lower()) & alias_grams)
+
+    alias = L.build_alias_dict(spark, names)
+    surfaces = spark.createDataFrame([(miss.lower(),)], "nsurf string")
+    out = L.link_surfaces(surfaces, alias, strategy="distributed").collect()
+    assert len(out) == 1 and out[0]["entity_id"].startswith("X")
+
+    # same guarantee when the hot-gram guard drops EVERY alias gram
+    misses = spark.createDataFrame([("aaaa bbbb",)], "nsurf string")
+    alias_norm = (alias.select(L.norm_surface(F.col("alias")).alias("nsurf"),
+                               "entity_id")
+                  .groupBy("nsurf").agg(F.min("entity_id").alias("entity_id")))
+    scored = L._score_misses_distributed(misses, alias_norm, max_gram_freq=0)
+    rows = scored.collect()
+    assert len(rows) == 1 and rows[0]["sim_id"] is None

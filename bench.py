@@ -424,8 +424,10 @@ STEAL_CORES_CLEAN = float(
 # python workers each pay first-task numpy import + kernel build,
 # JIT/GC/page-cache settle) — measured drift across rounds in every
 # pre-warm session: hi minima 245->201, 279->106, 331->125.  Applied
-# to BOTH levels identically.
-SCALE_WARMS = _env_int("SPARK_GRAFT_SCALE_WARMS", 2)
+# to BOTH levels identically.  Own env name: SPARK_GRAFT_SCALE_WARMS
+# configures the BLOCK protocol's timed warms (N_WARMS above) and the
+# two used to silently share one knob with different defaults.
+SCALE_WARMS = _env_int("SPARK_GRAFT_INTERLEAVED_WARMS", 2)
 
 
 def run_scaling_interleaved(sf_dir: str) -> None:

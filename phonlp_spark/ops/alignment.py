@@ -226,17 +226,21 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame,
     Inputs: (doc_id, sent_id, token_id, word, head, deprel).  One row:
     (n_aligned, uas_permille, las_permille), integer DIV only.
 
-    LAZY: returns a one-row plan; nothing is cached or collected here
+    LAZY: returns a one-row plan; nothing is collected here
     (composition-safe — the caller decides when jobs run).  The
-    alignment subtree appears more than once in the plan and recomputes
-    per reference by default; callers scoring many metrics over one
-    alignment pass ``cache_registry`` (a list) — the cogrouped
-    alignment is cached and appended so THEY own unpersist timing (the
-    build_graph convention).
+    expensive cogrouped alignment is ALWAYS marked .cache() (lazy):
+    every metric references the alignment subtree 2-3 times via
+    _aligned_arcs' head_map self-join, so an uncached plan recomputes
+    the applyInPandas walk per reference (the r5 regression).  Callers
+    scoring many metrics over one alignment pass ``cache_registry``
+    (a list) — the cached frame is appended so THEY own unpersist
+    timing (the build_graph convention); without a registry the entry
+    lives until Spark's LRU storage eviction, which is bounded because
+    align_tokens builds the same canonicalized plan per (gold, system)
+    input pair.
     """
-    aligned = align_tokens(gold, system)
+    aligned = align_tokens(gold, system).cache()
     if cache_registry is not None:
-        aligned = aligned.cache()
         cache_registry.append(aligned)
     # map each side's head index to its aligned counterpart: an arc is
     # correct when the head of the gold word aligns to the head of the
@@ -272,9 +276,8 @@ def aligned_field_score(gold: DataFrame, system: DataFrame,
     LAZY (see uas_las_aligned): pass cache_registry to cache the
     shared alignment and own its unpersist timing.
     """
-    aligned = align_tokens(gold, system)
+    aligned = align_tokens(gold, system).cache()
     if cache_registry is not None:
-        aligned = aligned.cache()
         cache_registry.append(aligned)
     g = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
                     F.col(field).alias("g_f"))
@@ -331,9 +334,8 @@ def clas_aligned(gold: DataFrame, system: DataFrame,
     LAZY (see uas_las_aligned): pass cache_registry to cache the
     shared alignment and own its unpersist timing.
     """
-    aligned = align_tokens(gold, system)
+    aligned = align_tokens(gold, system).cache()
     if cache_registry is not None:
-        aligned = aligned.cache()
         cache_registry.append(aligned)
     j = _aligned_arcs(gold, system, aligned)
     content = F.col("g_rel").isin(*sorted(CONTENT_DEPRELS))
@@ -442,9 +444,8 @@ def mlas_aligned(gold: DataFrame, system: DataFrame,
     n_system, n_aligned, n_correct, precision_permille,
     recall_permille, f1_permille).  LAZY (see uas_las_aligned).
     """
-    aligned = align_tokens(gold, system)
+    aligned = align_tokens(gold, system).cache()
     if cache_registry is not None:
-        aligned = aligned.cache()
         cache_registry.append(aligned)
     j = _aligned_arcs(gold, system, aligned)
     g_attr = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),
@@ -508,9 +509,8 @@ def blex_aligned(gold: DataFrame, system: DataFrame,
     head, deprel, lemma).  One row, same shape as clas_aligned.
     LAZY (see uas_las_aligned).
     """
-    aligned = align_tokens(gold, system)
+    aligned = align_tokens(gold, system).cache()
     if cache_registry is not None:
-        aligned = aligned.cache()
         cache_registry.append(aligned)
     j = _aligned_arcs(gold, system, aligned)
     g_l = gold.select(*SENT_KEY, F.col("token_id").alias("gold_token_id"),

@@ -89,11 +89,20 @@ def _worker_kernel(key: str | None, kernel_factory):
     kernel = _KERNEL_CACHE.get(key)
     if kernel is None:
         kernel = kernel_factory()
-        # a stage runs ONE factory, so bound the cache to the most
-        # recent kernel — long-lived reused workers must not pile up
-        # one set of (potentially transformer-sized) weights per
-        # distinct factory across jobs
-        _KERNEL_CACHE.clear()
+        # bound the cache to the TWO most recent kernels (LRU): a
+        # single-slot bound thrashes when two jobs with different
+        # factories interleave on one reused worker (streaming + batch
+        # on the same SparkContext alternate tasks, and each
+        # alternation would rebuild potentially transformer-sized
+        # weights); anything older is evicted so long-lived workers
+        # never pile up weights per distinct factory across jobs
+        while len(_KERNEL_CACHE) >= 2:
+            _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
+        _KERNEL_CACHE[key] = kernel
+    else:
+        # refresh recency so the interleaving partner, not the kernel
+        # just used, is the eviction candidate
+        _KERNEL_CACHE.pop(key)
         _KERNEL_CACHE[key] = kernel
     return kernel
 

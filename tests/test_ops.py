@@ -453,9 +453,18 @@ def test_ivf_probed_cells_superset_of_home_cells(spark):  # noqa: F811
 def test_ivf_near_dup_probing_lifts_candidate_recall(spark):  # noqa: F811
     """The r4-measured miss mode: true pairs straddling a cell
     boundary.  n_probe=2 must retrieve a superset of n_probe=1's pairs
-    and stay a subset of the brute-force threshold set."""
+    and stay a subset of the brute-force threshold set.
+
+    n_cells=7 > n_clusters=5 is what makes the premise TRUE: with one
+    cell per cluster, k-means recovers the clusters exactly and every
+    same-cluster pair is already same-cell at n_probe=1 (zero
+    straddlers — the r5 fixture's failure).  Over-provisioned cells
+    split clusters, so within-cluster cos>=0.8 pairs land in sibling
+    cells whose centroids are each other's second-nearest — measured
+    here: p1 retrieves 748 of the 765 exact pairs, p2 all 765."""
     emb = _clustered_emb(spark, n=90, n_clusters=5)
     thr = 800
+    n_cells = 7
     left = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     right = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     cos = similarity.dot(F.col("va"), F.col("vb")) / (
@@ -464,9 +473,9 @@ def test_ivf_near_dup_probing_lifts_candidate_recall(spark):  # noqa: F811
              left.join(right, F.col("a") < F.col("b"))
              .filter(F.round(cos * 1000) >= thr).collect()}
     p1 = {(r["a"], r["b"]) for r in similarity.embedding_near_dups_ivf(
-        emb, min_cos_x1000=thr, n_cells=5, n_probe=1).collect()}
+        emb, min_cos_x1000=thr, n_cells=n_cells, n_probe=1).collect()}
     p2 = {(r["a"], r["b"]) for r in similarity.embedding_near_dups_ivf(
-        emb, min_cos_x1000=thr, n_cells=5, n_probe=2).collect()}
+        emb, min_cos_x1000=thr, n_cells=n_cells, n_probe=2).collect()}
     assert p1 <= p2 <= exact
     assert len(p2) > len(p1)  # the fixture has boundary-straddlers
 

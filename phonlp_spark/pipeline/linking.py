@@ -100,69 +100,153 @@ def _ngram_vec(text: str, dim: int) -> np.ndarray:
     return _ngram_matrix([text], dim)[0]
 
 
-def _gram_hashes_udf():
-    """Arrow-batched pandas UDF: a surface's hashed char-3gram multiset
-    as an int array — EXACTLY the hashes _ngram_matrix scatter-adds
-    (same padding, same polynomial, same modulus), so the distributed
-    cosine below is the same tf vector as the broadcast matrix path."""
+def _raw_grams_udf():
+    """Arrow-batched pandas UDF: a surface's RAW char-3gram multiset as
+    24-bit byte codes (b0<<16 | b1<<8 | b2) over the same '  s  '
+    padding _ngram_matrix uses.  Raw codes key CANDIDATE generation on
+    a ~2^24 domain (a gram only matches surfaces that actually contain
+    it); the 2048-bucket hash the broadcast matrix scatter-adds is
+    derived from the code relationally (_hash_of_raw), so SCORING stays
+    in the identical tf space."""
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def gram_hashes(surfs: pd.Series) -> pd.Series:
+    def raw_grams(surfs: pd.Series) -> pd.Series:
         from phonlp_spark.kernel.runtime import tune_worker_runtime
         tune_worker_runtime()
         out = []
         for s0 in surfs:
             b = ("  " + (s0 or "") + "  ").encode("utf-8", "ignore")
             arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-            h = (arr[:-2] * 961 + arr[1:-1] * 31 + arr[2:]) % SIM_DIM
-            out.append(h.astype("int32").tolist())
+            rg = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+            out.append(rg.astype("int32").tolist())
         return pd.Series(out)
-    return gram_hashes
+    return raw_grams
+
+
+def _hash_of_raw(rg):
+    """The broadcast path's hashed bucket, derived JVM-side from a raw
+    code: (b0*961 + b1*31 + b2) % SIM_DIM — bit-identical to
+    _ngram_matrix's polynomial over the same bytes."""
+    b0, b1, b2 = (F.shiftright(rg, 16).bitwiseAND(F.lit(255)),
+                  F.shiftright(rg, 8).bitwiseAND(F.lit(255)),
+                  rg.bitwiseAND(F.lit(255)))
+    return (b0 * 961 + b1 * 31 + b2) % SIM_DIM
 
 
 def _sparse_grams(df: DataFrame, key: str):
-    """(key, _g, _tf) hashed-gram term frequencies + (key, _norm) L2
-    norms for a one-column DataFrame of distinct surfaces.  The gram
-    table is the inverted-index side of the distributed similarity
-    join; both outputs shuffle on `key` once."""
-    gram_hashes = _gram_hashes_udf()
-    g = df.select(F.col(key), F.explode(gram_hashes(F.col(key))).alias("_g"))
-    tf = g.groupBy(key, "_g").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf"))
+    """Per-surface gram tables for a one-column DataFrame of distinct
+    surfaces: (key, _rg, _c) RAW-gram counts, (key, _g, _tf)
+    hashed-gram term frequencies (the broadcast matrix's tf vector),
+    and (key, _norm) hashed-space L2 norms.  One UDF pass; everything
+    downstream of the explode is JVM-side; all three shuffle on `key`
+    once."""
+    raw_grams = _raw_grams_udf()
+    g = df.select(F.col(key), F.explode(raw_grams(F.col(key))).alias("_rg"))
+    raw_tf = g.groupBy(key, "_rg").agg(
+        F.count(F.lit(1)).cast("double").alias("_c"))
+    tf = (raw_tf.withColumn("_g", _hash_of_raw(F.col("_rg")))
+          .groupBy(key, "_g").agg(F.sum("_c").alias("_tf")))
     norm = tf.groupBy(key).agg(
         F.sqrt(F.sum(F.col("_tf") * F.col("_tf"))).alias("_norm"))
-    return tf, norm
+    return raw_tf, tf, norm
+
+
+def _candidate_pairs(m_raw: DataFrame, a_raw: DataFrame,
+                     max_gram_freq: int = 100_000,
+                     threshold: float = SIM_THRESHOLD) -> DataFrame:
+    """(nsurf, _asurf) candidate pairs via a raw-gram inverted index
+    with an L2-mass prefix filter — the set-similarity-join layout
+    (VERDICT r5 #2): selectivity comes from the ~2^24 raw domain
+    (the 2048-bucket hash made every bucket's posting list ~A/2048
+    aliases, so candidates approached M*A cross-product scale exactly
+    in the >cap regime this path exists for).
+
+    Prefix filter (miss side, the standard lossless cosine bound):
+    order each miss's grams most-common-first by alias-side document
+    frequency and DROP a prefix S while its L2 count mass obeys
+    sum_{g in S} c_g^2 < threshold^2 * sum_g c_g^2.  For any alias y
+    sharing no KEPT gram with x, every shared gram is in S, so by
+    Cauchy-Schwarz  dot(x,y) <= ||x_S||*||y|| < threshold*||x||*||y||
+    — the pair cannot clear the link threshold and pruning it is
+    lossless.  Up to (1 - t^2) = 64% of a surface's gram mass prunes
+    away, so universal affixes ('công ty ', ' việt nam') drop out of
+    candidate generation per surface without any global stop list.
+    (The bound is exact for the raw-gram cosine; the 2048-bucket
+    hashed cosine the scorer computes can exceed it only via
+    cross-gram hash collisions — reaching 0.6 from 1/2048-probability
+    collisions needs several simultaneous hits within one pair, and
+    the broadcast path would need the same accident to link; the
+    randomized distributed-vs-broadcast parity test pins the
+    equivalence empirically.)
+
+    Grams carried by more than ``max_gram_freq`` aliases are dropped
+    from the index unconditionally (hot-gram safety valve); their
+    squared mass DEBITS the prefix budget, so the lossless bound
+    covers the union of both drop sets: total dropped mass stays
+    < t^2 ||x||^2 whenever the hot mass alone does.  A surface whose
+    hot grams already exceed the budget (a universal affix dominating
+    a short surface) gets NO further pruning — every remaining
+    alias-shared gram is kept so recall degrades only through the
+    valve itself, never through valve + budget compounding; the valve
+    loss needs >max_gram_freq-alias grams to carry over t^2 = 36% of
+    the surface's squared gram mass AND the pair to share nothing
+    else, and is candidate-only (scoring never drops grams, so both
+    paths stay threshold-consistent on every generated pair).
+    """
+    a_df = a_raw.groupBy("_rg").agg(F.count(F.lit(1)).alias("_df"))
+    a_idx = (a_raw.join(a_df.filter(F.col("_df") > max_gram_freq)
+                        .select("_rg"), "_rg", "left_anti")
+             .select("_asurf", "_rg"))
+    # alias-absent grams (_df null) shave no candidate and carry no
+    # shared mass — excluded from candidacy, the budget and the debit
+    mg = m_raw.join(a_df, "_rg", "inner")
+    hot2 = (mg.filter(F.col("_df") > max_gram_freq)
+            .groupBy("nsurf")
+            .agg(F.sum(F.col("_c") * F.col("_c")).alias("_hot2")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("nsurf")
+         .orderBy(F.col("_df").desc(), F.col("_rg").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    norm2_raw = (m_raw.groupBy("nsurf")
+                 .agg(F.sum(F.col("_c") * F.col("_c")).alias("_nraw2")))
+    kept = (mg.filter(F.col("_df") <= max_gram_freq)
+            .join(norm2_raw, "nsurf")
+            .join(hot2, "nsurf", "left")
+            .withColumn("_cum2", F.sum(F.col("_c") * F.col("_c")).over(w))
+            .filter(F.col("_cum2")
+                    >= threshold * threshold * F.col("_nraw2")
+                    - F.coalesce(F.col("_hot2"), F.lit(0.0)))
+            .select("nsurf", "_rg"))
+    return (kept.join(a_idx, "_rg")
+            .select("nsurf", "_asurf").distinct())
 
 
 def _score_misses_distributed(misses: DataFrame, alias_norm: DataFrame,
                               max_gram_freq: int = 100_000) -> DataFrame:
     """Stage 2 without the driver: (nsurf) misses -> (nsurf, sim_id)
-    via an inverted-index similarity join against the FULL distributed
-    alias inventory — the path for alias dictionaries too large to
-    collect+broadcast (the failure mode the old cap guarded).
+    for alias dictionaries too large to collect+broadcast.  Two-phase
+    set-similarity join:
 
-    Shape: both sides explode to hashed char-3grams (the same hashes
-    the broadcast path's matrix uses), join on the gram — an inverted
-    index, never a cross product — then per-(miss, alias) dot products
-    and a top-1 window.  Grams carried by more than ``max_gram_freq``
-    aliases are dropped from candidate generation (the stop-shingle
-    guard of ops/dedup.py applied to grams): a universal gram like
-    '  t' would otherwise make the index quadratic.  A candidate pair
-    sharing ONLY dropped grams is lost — at the default cap that needs
-    a >100k-alias gram, where cosine contribution per gram is
-    negligible anyway.
+    1. CANDIDATES (_candidate_pairs): raw 24-bit gram inverted index +
+       L2-mass prefix filter — candidate rows scale with true gram
+       overlap, never with |misses| x |aliases| / 2048 (the r5 plan's
+       failure at its own design point).
+    2. SCORING: on surviving pairs only, the exact 2048-dim hashed-tf
+       cosine — the same hashes, tf vectors and FULL norms the
+       broadcast matrix path computes (no gram is ever dropped from a
+       dot product or a norm), so the two paths agree on every scored
+       pair (floating-point summation order aside).
 
     Tie rule: equal cosines resolve to the smallest entity_id — the
     same rule the broadcast path applies (alias matrix sorted by
     entity_id, first argmax).
     """
-    a_tf, a_norm = _sparse_grams(
+    a_raw, a_tf, a_norm = _sparse_grams(
         alias_norm.select(F.col("nsurf").alias("_asurf")), "_asurf")
-    hot = (a_tf.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-           .filter(F.col("_n") > max_gram_freq).select("_g"))
-    a_tf = a_tf.join(F.broadcast(hot), "_g", "left_anti")
-    m_tf, m_norm = _sparse_grams(misses.select("nsurf"), "nsurf")
+    m_raw, m_tf, m_norm = _sparse_grams(misses.select("nsurf"), "nsurf")
+    cand = _candidate_pairs(m_raw, a_raw, max_gram_freq)
 
-    num = (m_tf.join(a_tf.withColumnRenamed("_tf", "_atf"), "_g")
+    num = (cand.join(m_tf, "nsurf")
+           .join(a_tf.withColumnRenamed("_tf", "_atf"), ["_asurf", "_g"])
            .groupBy("nsurf", "_asurf")
            .agg(F.sum(F.col("_tf") * F.col("_atf")).alias("_dot")))
     scored = (num
@@ -179,9 +263,9 @@ def _score_misses_distributed(misses: DataFrame, alias_norm: DataFrame,
             .select("nsurf",
                     F.when(F.col("_cos") >= SIM_THRESHOLD,
                            F.col("entity_id")).alias("sim_id")))
-    # a miss sharing NO gram with any alias (or only hot-dropped grams)
-    # has no candidate rows and would vanish from top1 — re-attach it
-    # with a NULL sim_id so the caller mints a new id, exactly as the
+    # a miss with zero candidate pairs (no alias-shared gram, or only
+    # hot-dropped grams) has no rows in top1 — re-attach it with a
+    # NULL sim_id so the caller mints a new id, exactly as the
     # broadcast path does for below-threshold misses
     return misses.join(top1, "nsurf", "left").select("nsurf", "sim_id")
 

@@ -147,3 +147,105 @@ def test_distributed_zero_candidate_miss_still_mints_id(spark):  # noqa: F811
     scored = L._score_misses_distributed(misses, alias_norm, max_gram_freq=0)
     rows = scored.collect()
     assert len(rows) == 1 and rows[0]["sim_id"] is None
+
+
+def test_distributed_candidates_scale_with_gram_overlap(spark):  # noqa: F811
+    """The r5 verdict's scale-killer check: on a ~100k-alias synthetic
+    inventory, candidate generation must scale with TRUE raw-gram
+    overlap, not with |misses| * |aliases| / 2048 (the old hashed-
+    bucket join's floor).  Measured here as the actual pre-aggregation
+    join cardinalities of both plans on identical inputs, plus
+    end-to-end correctness: every near-variant miss still links to its
+    own entity through the filtered candidates."""
+    import phonlp_spark.pipeline.linking as L
+
+    A = 100_000
+    # diverse base-36 tails (raw-gram df ~ tens) behind a universal
+    # 'cty ' prefix shared by ALL aliases — the adversarial shape:
+    # prefix grams are true overlap with every alias, and only the
+    # hot-gram valve (here 5% of the inventory) keeps them out of the
+    # index; tail grams are the selective candidates
+    alias_norm = spark.range(A).select(
+        F.concat(F.lit("cty "),
+                 F.lower(F.conv(F.col("id") * 7919 + 13, 10, 36)),
+                 F.lit(" "),
+                 F.lower(F.conv(F.col("id") * 104729 + 7, 10, 36)))
+        .alias("nsurf"),
+        F.concat(F.lit("E"), F.lpad(F.col("id").cast("string"), 8, "0"))
+        .alias("entity_id"))
+    hot_cap = 5_000
+
+    variant_rows = alias_norm.filter(F.col("id") % 9973 == 0) \
+        .withColumn("nsurf", F.concat(F.col("nsurf"), F.lit("x"))) \
+        .select("nsurf", "entity_id").collect()  # 11 near-variants
+    unrelated = [f"hoàn toàn khác biệt {i * 31:05d}" for i in range(20)]
+    misses = spark.createDataFrame(
+        [(r["nsurf"],) for r in variant_rows] + [(t,) for t in unrelated],
+        "nsurf string")
+
+    a_raw, a_tf, _ = L._sparse_grams(
+        alias_norm.select(F.col("nsurf").alias("_asurf")), "_asurf")
+    m_raw, m_tf, _ = L._sparse_grams(misses.select("nsurf"), "nsurf")
+    cand = L._candidate_pairs(m_raw, a_raw, max_gram_freq=hot_cap)
+    new_preagg = (cand.join(m_tf, "nsurf")
+                  .join(a_tf.withColumnRenamed("_tf", "_atf"),
+                        ["_asurf", "_g"]).count())
+    old_preagg = m_tf.join(a_tf.withColumnRenamed("_tf", "_atf"),
+                           "_g").count()
+    n_miss = misses.count()
+    # the old plan's floor: every (miss gram, alias gram) bucket match
+    assert old_preagg > n_miss * A / 2048 * 10
+    # the new plan: 50x+ under the old cardinality (measured 59x), and
+    # candidate pairs under 1% of the miss x alias cross product
+    assert new_preagg * 50 < old_preagg, (new_preagg, old_preagg)
+    n_cand = cand.count()
+    assert n_cand < n_miss * A / 100, (n_cand, n_miss * A)
+
+    got = {r["nsurf"]: r["sim_id"] for r in L._score_misses_distributed(
+        misses, alias_norm, max_gram_freq=hot_cap).collect()}
+    for r in variant_rows:
+        assert got[r["nsurf"]] == r["entity_id"]
+    for t in unrelated:
+        assert got[t] is None
+
+
+def test_distributed_broadcast_parity_randomized(spark):  # noqa: F811
+    """Dense-overlap randomized parity: aliases drawn from a small
+    shared vocabulary (heavy raw-gram sharing AND 2048-bucket
+    collisions), misses a mix of exact surfaces, mutations and noise —
+    the distributed prefix-filtered path must reproduce the broadcast
+    matrix path's surface -> entity map EXACTLY, minted ids included."""
+    import numpy as np
+    import phonlp_spark.pipeline.linking as L
+
+    rng = np.random.default_rng(17)
+    vocab = ["".join(rng.choice(list("abcdefgh"))
+                     for _ in range(int(rng.integers(3, 7))))
+             for _ in range(40)]
+    names = ["_".join(rng.choice(vocab, size=int(rng.integers(2, 5)),
+                                 replace=False))
+             for _ in range(150)]
+    alias = L.build_alias_dict(spark, names)
+
+    surfs = set()
+    for n in rng.choice(names, size=25, replace=False):
+        s = n.replace("_", " ")
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            surfs.add(s)                      # exact
+        elif kind == 1:
+            i = int(rng.integers(0, len(s)))
+            surfs.add(s[:i] + s[i + 1:])      # one char dropped
+        else:
+            surfs.add(s + " " + str(rng.choice(vocab)))  # extra token
+    surfs |= {f"zz{np.base_repr(int(rng.integers(0, 36**8)), 36).lower()}"
+              for _ in range(10)}             # noise -> minted ids
+    surfaces = spark.createDataFrame([(t,) for t in sorted(surfs)],
+                                     "nsurf string")
+    bc = {r["nsurf"]: r["entity_id"]
+          for r in L.link_surfaces(surfaces, alias,
+                                   strategy="broadcast").collect()}
+    ds = {r["nsurf"]: r["entity_id"]
+          for r in L.link_surfaces(surfaces, alias,
+                                   strategy="distributed").collect()}
+    assert ds == bc

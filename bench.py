@@ -435,6 +435,38 @@ def _cpu_snapshot(root_pid: int) -> tuple[int, int, int, int]:
     return vm_busy, steal, iowait, own
 
 
+_PROBE_BUFS = None
+
+
+def _dram_probe_gbps() -> float:
+    """Single-threaded STREAM-style add (a = b + c) over 64 MiB float64
+    arrays — far past L3, so the best-of-5 rate measures the DRAM
+    bandwidth available to ONE of our pinned cores right now.
+
+    Third interference channel (rule v3): a co-tenant saturating the
+    HOST's memory controllers slows our vCPUs without taking their
+    cycles, so it is invisible to both ext_cores (in-VM accounting)
+    and steal_cores (hypervisor scheduling) — session 7 measured a
+    rule-v2-clean hi wall 55% above the same session's plateau at
+    0.31 steal cores.  The probe is relative, not absolute: the clean
+    rule keys off the session's own maximum (contention only ever
+    LOWERS the rate).  Buffers persist across calls so page-faulting
+    the 192 MiB is paid once, not per probe."""
+    import numpy as np
+    global _PROBE_BUFS
+    n = 8 * 1024 * 1024
+    if _PROBE_BUFS is None:
+        _PROBE_BUFS = (np.empty(n), np.ones(n), np.ones(n))
+        np.add(_PROBE_BUFS[1], _PROBE_BUFS[2], out=_PROBE_BUFS[0])
+    a, b, c = _PROBE_BUFS
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.add(b, c, out=a)
+        best = min(best, time.perf_counter() - t0)
+    return round(24.0 * n / best / 1e9, 2)
+
+
 def _scaling_server(master: str) -> None:
     """Child REPL for the interleaved protocol: ONE pinned long-lived
     session; 'RUN' on stdin runs the full KG job once and prints a
@@ -445,7 +477,9 @@ def _scaling_server(master: str) -> None:
     Each RESULT carries ext_cores / own_cores: average cores burned
     during the run by other host tenants vs by this server's own
     process tree (see _cpu_snapshot) — the driver's pre-registered
-    contamination rule (BENCH/BASELINE.md) keys off ext_cores."""
+    contamination rule (BENCH/BASELINE.md) keys off ext_cores — plus
+    dram_gbps: the min of the one-core bandwidth probe taken
+    immediately before and after the run (rule v3)."""
     from phonlp_spark.pipeline.session import get_spark
 
     clk = os.sysconf("SC_CLK_TCK")
@@ -457,11 +491,13 @@ def _scaling_server(master: str) -> None:
             break
         if cmd != "RUN":
             continue
+        gbps_pre = _dram_probe_gbps()
         busy0, steal0, io0, own0 = _cpu_snapshot(os.getpid())
         t0 = time.time()
         n_docs, n_edges = _scaling_job(spark)
         wall = time.time() - t0
         busy1, steal1, io1, own1 = _cpu_snapshot(os.getpid())
+        gbps_post = _dram_probe_gbps()
         own_sec = (own1 - own0) / clk
         ext_sec = max(0.0, (busy1 - busy0) / clk - own_sec)
         print("RESULT " + json.dumps({
@@ -470,7 +506,9 @@ def _scaling_server(master: str) -> None:
             "own_cores": round(own_sec / wall, 2),
             "ext_cores": round(ext_sec / wall, 2),
             "steal_cores": round((steal1 - steal0) / clk / wall, 2),
-            "iowait_cores": round((io1 - io0) / clk / wall, 2)}),
+            "iowait_cores": round((io1 - io0) / clk / wall, 2),
+            "dram_gbps": min(gbps_pre, gbps_post),
+            "dram_gbps_pre": gbps_pre, "dram_gbps_post": gbps_post}),
             flush=True)
     spark.stop()
 
@@ -493,6 +531,12 @@ STEAL_CORES_CLEAN = float(
 # configures the BLOCK protocol's timed warms (N_WARMS above) and the
 # two used to silently share one knob with different defaults.
 SCALE_WARMS = _env_int("SPARK_GRAFT_INTERLEAVED_WARMS", 2)
+# Rule v3 (pre-registered before session 9; BENCH/BASELINE.md): a run
+# is dram-clean iff its one-core bandwidth probe (min of pre/post,
+# see _dram_probe_gbps) is >= this fraction of the SESSION's maximum
+# probe at the same level.  Relative, because contention only ever
+# lowers the rate — the session max approximates the quiet host.
+DRAM_CLEAN_FRAC = float(os.environ.get("SPARK_GRAFT_DRAM_CLEAN_FRAC", "0.85"))
 
 
 def run_scaling_interleaved(sf_dir: str) -> None:
@@ -542,9 +586,14 @@ def run_scaling_interleaved(sf_dir: str) -> None:
         # untimed steady-state warms (see SCALE_WARMS): both levels,
         # alternating so neither level's warm-up window is privileged
         warm_walls = {"lo": [], "hi": []}
+        probes = {"lo": [g for g in [cold_lo.get("dram_gbps")] if g],
+                  "hi": [g for g in [cold_hi.get("dram_gbps")] if g]}
         for _ in range(SCALE_WARMS):
-            warm_walls["lo"].append(run_once(p_lo)["wall_sec"])
-            warm_walls["hi"].append(run_once(p_hi)["wall_sec"])
+            for lvl, p in (("lo", p_lo), ("hi", p_hi)):
+                r = run_once(p)
+                warm_walls[lvl].append(r["wall_sec"])
+                if "dram_gbps" in r:
+                    probes[lvl].append(r["dram_gbps"])
         pairs, lo_walls, hi_walls = [], [], []
         for i in range(N_ROUNDS):
             r_lo = run_once(p_lo)
@@ -578,6 +627,15 @@ def run_scaling_interleaved(sf_dir: str) -> None:
                 if pair["clean"]:
                     pair["clean_efficiency"] = round(
                         t_lo / (4.0 * min(clean_his)), 3)
+            if "dram_gbps" in r_lo:
+                # rule-v3 inputs; the dram-clean marks need the whole
+                # session's probes and are computed after the loop
+                pair["lo_dram_gbps"] = r_lo["dram_gbps"]
+                pair["hi_dram_gbps"] = [r["dram_gbps"] for r in r_his]
+                pair["_lo_v2"] = _is_clean(r_lo)
+                pair["_hi_v2"] = [_is_clean(r) for r in r_his]
+                probes["lo"].append(r_lo["dram_gbps"])
+                probes["hi"].extend(r["dram_gbps"] for r in r_his)
             pairs.append(pair)
             lo_walls.append(t_lo)
             hi_walls.extend(r["wall_sec"] for r in r_his)
@@ -621,6 +679,34 @@ def run_scaling_interleaved(sf_dir: str) -> None:
             # < 2 clean pairs: the session says nothing about the
             # engine either way (pre-registered VOID rule)
             record["session_void"] = True
+    # Rule v3 = rule v2 AND the DRAM probe within DRAM_CLEAN_FRAC of
+    # the session's per-level max (see _dram_probe_gbps); marks are
+    # computable only now that every probe of the session is in.
+    v3_pairs = [p for p in pairs if "lo_dram_gbps" in p]
+    if v3_pairs:
+        floor = {lvl: DRAM_CLEAN_FRAC * max(ps)
+                 for lvl, ps in probes.items() if ps}
+        clean_v3_effs = []
+        for p in v3_pairs:
+            lo_ok = p.pop("_lo_v2") and p["lo_dram_gbps"] >= floor["lo"]
+            hi_v2 = p.pop("_hi_v2")
+            ok_walls = [w for w, v2, g in zip(p["hi_walls"], hi_v2,
+                                              p["hi_dram_gbps"])
+                        if v2 and g >= floor["hi"]]
+            p["clean_v3"] = lo_ok and bool(ok_walls)
+            if p["clean_v3"]:
+                p["clean_v3_efficiency"] = round(
+                    p["lo_wall"] / (4.0 * min(ok_walls)), 3)
+                clean_v3_effs.append(p["clean_v3_efficiency"])
+        record["dram_clean_frac"] = DRAM_CLEAN_FRAC
+        record["session_max_dram_gbps"] = {
+            lvl: max(ps) for lvl, ps in probes.items() if ps}
+        record["clean_v3_pairs"] = len(clean_v3_effs)
+        if len(clean_v3_effs) >= 2:
+            record["clean_v3_median_efficiency"] = round(
+                statistics.median(clean_v3_effs), 3)
+        else:
+            record["session_void_v3"] = True
     os.makedirs("BENCH", exist_ok=True)
     try:
         with open(RUNS_JSON) as f:

@@ -42,7 +42,12 @@ _CLAS_RELS = ["nsubj", "obj", "nmod", "amod", "advmod",
 
 
 def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id bigint, sent_id int, sentence string): 12-token chunks."""
+    """(doc_id bigint, sent_id int, sentence string): 12-token chunks.
+
+    The doc scan is fanned out first (no-op on wide scans) so the
+    split/explode work runs at cluster width, not on the fixture
+    file's 1-2 scan tasks."""
+    from phonlp_spark.ops.fanout import fan_out
     toks = F.split(F.col("text"), " ")
     n = F.greatest(F.ceil(F.size(toks) / F.lit(SENT_TOKENS)), F.lit(1)).cast("int")
     ks = F.sequence(F.lit(0), n - 1)
@@ -50,7 +55,7 @@ def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks, lambda k: F.array_join(
             F.slice(toks, k * SENT_TOKENS + 1, SENT_TOKENS), " "))
     return (
-        _docs(spark, sf_dir)
+        fan_out(_docs(spark, sf_dir))
         .select("doc_id", F.posexplode(chunks).alias("sent_id", "sentence"))
         .select("doc_id", F.col("sent_id").cast("int").alias("sent_id"), "sentence")
     )
@@ -909,7 +914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tpch_top_customers(s, d):
         li = _table(s, d, "lineitem")
-        o = _table(s, d, "orders")
+        # shuffled-hash, not broadcast, for the orders side (guide
+        # §3.1): the column-pruned orders estimate slips under the
+        # auto-broadcast threshold, but building a |orders|-row hash
+        # relation on the driver is a serial ~1.3 s prepay (measured
+        # 2.4 -> 1.1 s at sf1.0 from this hint alone) — and at real
+        # scale orders cannot broadcast at all, so SHJ is also the
+        # 100-TB-correct strategy.  customer stays broadcast (tiny).
+        o = _table(s, d, "orders").hint("shuffle_hash")
         c = _table(s, d, "customer")
         disc_x100 = F.round(F.col("l_discount") * 100).cast("bigint")
         rev = _cents("l_extendedprice") * (F.lit(100) - disc_x100)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from phonlp_spark.ops.fanout import fan_out, fan_width
+
 # Default sketch sizes — sized for the sandbox fixtures.  All operators
 # take these as ARGUMENTS so a 100-TB corpus runs e.g. 128 minhashes /
 # 16 bands and 64 simhash bits without code changes; the oracle-SQL
@@ -56,6 +58,21 @@ def token_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def _shingles_wide(docs: DataFrame, n: int, text_col: str,
+                   key_col: str) -> DataFrame:
+    """Canonical fanned-out shingle table: round-robin the (narrow) doc
+    scan so shingling itself parallelizes, then ONE hash exchange on
+    shingle.  Every consumer of the returned frame that needs the
+    shingle table (hot-shingle scan, posting lists, sizes, signature
+    partial-aggregates) hangs off the SAME exchange, so Spark's
+    exchange reuse computes scan + shingling once per query instead of
+    once per consumer, and every downstream stage starts at cluster
+    width instead of the scan stage's 1-2 tasks (guide §2.4)."""
+    w = fan_width(docs)
+    sh = token_shingles(fan_out(docs, w), n, text_col, key_col)
+    return sh.repartition(w, "shingle")
+
+
 def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
                   text_col: str = "text", key_col: str = "doc_id",
                   max_shingle_freq: int = 1000) -> DataFrame:
@@ -66,23 +83,57 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
     (integers only — float-free so oracles hash identically).
     Shingles occurring in > max_shingle_freq docs are dropped
     (stop-shingle skew guard).
+
+    Plan shape (guide §2.4/§2.5): one shared shingle exchange; the
+    stop-shingle guard is a broadcast anti join applied BEFORE posting
+    lists are collected (bounding every list at max_shingle_freq); the
+    intersection counts come from per-shingle posting lists expanded to
+    (a, b) pairs JVM-side.  The quadratic pair stream is generated and
+    partially aggregated across the full cluster width — the previous
+    shingle self-join put it on the probe side of a broadcast join,
+    i.e. on the scan stage's 1-2 tasks (281 s at ~1.5 busy cores at
+    sf1.0; see plans/r07/dedup_jaccard_before.txt).
     """
-    sh = token_shingles(docs, n, text_col, key_col)
+    sh = _shingles_wide(docs, n, text_col, key_col)
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")) \
             .filter(F.col("df") > max_shingle_freq).select("shingle")
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    shf = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = shf.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    # Attach each doc's shingle-set size to its shingle rows BEFORE
+    # posting lists are collected: pairs then emerge as (a, b, na, nb)
+    # directly and the candidate table never joins anything downstream
+    # (guide §2.4 — also avoids the planner broadcasting the huge pair
+    # table on a post-aggregate size underestimate, the failure mode of
+    # the join-back formulation).
+    shs = shf.join(sizes, "key")
+    # per-shingle posting list, sorted so expansion emits a < b pairs;
+    # keys are distinct within a shingle group (token_shingles emits
+    # distinct shingles per doc), so the key order is strictly ascending
+    posts = shs.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("key", "sz"))).alias("ks"))
+    pair_arr = F.expr(
+        "flatten(transform(ks, (x, i) -> transform("
+        "slice(ks, i + 2, size(ks)), "
+        "y -> struct(x.key AS a, y.key AS b, x.sz AS na, y.sz AS nb))))")
     pairs = (
-        sh.alias("l").join(sh.alias("r"), "shingle")
-        .filter(F.col("l.key") < F.col("r.key"))
-        .groupBy(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
+        posts.filter(F.size("ks") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b", "p.na", "p.nb")
+        # explicit exchange BEFORE the aggregate: pair emissions are
+        # ~90% unique (a, b) groups (measured 114M distinct of 127M at
+        # sf1.0), so a map-side partial aggregate is a wasted full hash
+        # pass over the stream.  Partitioning by (a, b) first turns the
+        # aggregate into one complete pass (HashPartitioning on a
+        # subset of the grouping keys satisfies the clustering), and 4x
+        # width keeps each task's hash map cache-friendly (measured
+        # 19.6 -> 14.8 s at sf1.0).
+        .repartition(4 * fan_width(docs), "a", "b")
+        .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        pairs.join(sizes.withColumnRenamed("key", "a").withColumnRenamed("sz", "na"), "a")
-        .join(sizes.withColumnRenamed("key", "b").withColumnRenamed("sz", "nb"), "b")
-        .filter(F.lit(100) * F.col("common")
-                >= F.lit(min_pct) * (F.col("na") + F.col("nb") - F.col("common")))
+        pairs.filter(F.lit(100) * F.col("common")
+                     >= F.lit(min_pct) * (F.col("na") + F.col("nb") - F.col("common")))
         .select("a", "b", "common", "na", "nb")
     )
 
@@ -98,23 +149,31 @@ def _signatures_from_shingles(sh: DataFrame, n_minhash: int) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
                        key_col: str = "doc_id",
                        n_minhash: int = N_MINHASH) -> DataFrame:
-    """(key, mh0..mh{N-1}): per-doc min over salted shingle hashes."""
+    """(key, mh0..mh{N-1}): per-doc min over salted shingle hashes.
+
+    Docs are fanned out before shingling so the n_minhash md5
+    evaluations per shingle row (the dominant cost) run in the partial
+    aggregate at cluster width, not inside the 1-2 scan tasks."""
     return _signatures_from_shingles(
-        token_shingles(docs, n, text_col, key_col), n_minhash)
+        token_shingles(fan_out(docs), n, text_col, key_col), n_minhash)
 
 
 def _lsh_pairs_from_shingles(sh: DataFrame, n_minhash: int,
                              band: int) -> DataFrame:
+    """Banding via ONE posexplode projection over the signature table:
+    the previous per-band select + union recomputed the signature
+    aggregate (and its n_minhash md5s per shingle row) once per band;
+    posexplode of the band-bucket array keeps a single signature
+    subtree, which the self-join's two identical exchanges then share
+    via ReusedExchange — signatures are computed once per query."""
     sig = _signatures_from_shingles(sh, n_minhash)
-    bands = []
-    for b in range(n_minhash // band):
-        cols = [F.col(f"mh{b * band + j}") for j in range(band)]
-        bands.append(sig.select(
-            "key", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket")))
-    buck = bands[0]
-    for df in bands[1:]:
-        buck = buck.unionByName(df)
+    bucket_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"mh{b * band + j}").cast("string")
+                                 for j in range(band)]))
+        for b in range(n_minhash // band)
+    ]
+    buck = sig.select(
+        "key", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"))
     return (
         buck.alias("l").join(buck.alias("r"), ["band", "bucket"])
         .filter(F.col("l.key") < F.col("r.key"))
@@ -129,7 +188,7 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",
                         band: int = LSH_BAND) -> DataFrame:
     """Near-dup candidates: docs sharing any LSH band bucket."""
     return _lsh_pairs_from_shingles(
-        token_shingles(docs, n, text_col, key_col), n_minhash, band)
+        token_shingles(fan_out(docs), n, text_col, key_col), n_minhash, band)
 
 
 def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
@@ -150,13 +209,15 @@ def lsh_verified_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
     story, same as ann_recall for ANN).
 
     ``cache_registry``: the plan references the shingle table from four
-    consumers (signatures, stop-shingle scan, sizes, intersection),
-    which re-shingles the corpus once per consumer when uncached.  Pass
-    a list to persist the shingles once and receive the handle for
-    unpersisting after the action (the build_graph convention); default
-    None keeps the operator stateless.
+    consumers (signatures, stop-shingle scan, sizes, intersection).
+    Since r7 all four hang off one canonical shingle exchange (see
+    _shingles_wide) that Spark's exchange reuse materializes once per
+    query, so re-shingling no longer multiplies with consumers even
+    uncached.  Pass a list to additionally persist the shingles and
+    receive the handle for unpersisting after the action (the
+    build_graph convention); default None keeps the operator stateless.
     """
-    sh = token_shingles(docs, n, text_col, key_col)
+    sh = _shingles_wide(docs, n, text_col, key_col)
     if cache_registry is not None:
         sh = sh.persist()
         cache_registry.append(sh)
@@ -208,13 +269,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         "completeness needs max_hamming <= n_bands - 1 (pigeonhole)")
     width = bits // n_bands
     sig = simhash(docs, text_col, key_col, bits)
-    bandr = None
-    for b in range(n_bands):
-        chunk = F.shiftright(F.col("simhash"), b * width) \
-            .bitwiseAND(F.lit((1 << width) - 1))
-        part = sig.select("key", F.lit(b).alias("band"),
-                          chunk.alias("chunk"), "simhash")
-        bandr = part if bandr is None else bandr.unionByName(part)
+    # one posexplode projection instead of an n_bands-way union: the
+    # union recomputed the signature aggregate once per band branch
+    chunks = [
+        F.shiftright(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for b in range(n_bands)
+    ]
+    bandr = sig.select(
+        "key", F.posexplode(F.array(*chunks)).alias("band", "chunk"),
+        "simhash")
     if max_bucket_size is not None:
         from phonlp_spark.ops.similarity import drop_hot_buckets
         bandr = drop_hot_buckets(bandr, ["band", "chunk"], max_bucket_size)
@@ -235,8 +299,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(key, simhash): sign-aggregated token fingerprint over `bits` bits."""
-    tok = docs.select(F.col(key_col).alias("key"),
-                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tok = fan_out(docs).select(F.col(key_col).alias("key"),
+                               F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = _h64(F.col("tok"))
     bit_sums = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from phonlp_spark.ops.fanout import fan_out
+
 LSH_PLANES = 4
 EMB_DIM = 64
 
@@ -39,18 +41,24 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     """(query_id, neighbor_id, rank): exact top-k cosine neighbors.
 
     The query side is tiny by contract -> broadcast nested-loop join;
-    the corpus streams once.  Ties broken by neighbor id for
-    determinism.
+    the corpus streams once, fanned out to cluster width (the scoring
+    work is |corpus| * |queries| dot products and must not sit inside
+    the scan stage's 1-2 tasks).  Norms are projected ONCE per vector
+    before the join instead of being recomputed per scored pair — the
+    identical double-precision expressions over the same values, so
+    cos is bit-identical.  Ties broken by neighbor id for determinism.
     """
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("cvec"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"))
+    c = fan_out(embeddings).select(F.col(id_col).alias("neighbor_id"),
+                                   F.col(vec_col).alias("cvec"),
+                                   norm(F.col(vec_col)).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", dot(F.col("qvec"), F.col("cvec"))
-                    / (norm(F.col("qvec")) * norm(F.col("cvec"))))
+                    / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())

@@ -105,7 +105,13 @@ def profile(docs: DataFrame, text_col: str = "text",
     is one scan with zero shuffles at any scale (the 100-TB shape for
     "annotate every document with its stats").  Column semantics are
     identical to token_stats / quality_score / lang_id / fingerprint.
+
+    fan_out is a no-op on wide (real-scale) scans, preserving the
+    zero-shuffle story; on the sandbox's single-row-group fixtures it
+    lifts the per-row expression work off the scan stage's 1-2 tasks.
     """
+    from phonlp_spark.ops.fanout import fan_out
+    docs = fan_out(docs)
     toks = F.split(F.col(text_col), " ")
     ltoks = F.split(F.lower(F.col(text_col)), " ")
     stops = F.array(*[F.lit(s) for s in STOP_EN + STOP_VI])

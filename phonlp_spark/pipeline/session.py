@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # input split sizing: the sandbox fixtures' only multi-row-group
+        # files (lineitem 6 RGs / orders 2 RGs at sf1.0, ~130/26 MB) are
+        # unsplittable below row-group grain, and the 128m default packs
+        # them into 1-2 scan tasks on a 32-core machine.  32m splits let
+        # those scans reach row-group parallelism; single-row-group
+        # files are unaffected (still one task — see ops/fanout.py for
+        # how heavy work leaves such stages).  Production at 100 TB
+        # should RAISE this (guide §6 recommends 512m-1g for large
+        # sequential scans); it is an env knob, not a constant.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
         # pin the session timezone: timestamp_ntz -> timestamp casts
         # must not depend on the host JVM's default zone (DST zones
         # shift wall-time differences across transitions, silently
@@ -64,7 +75,15 @@ def get_spark(
         # stays bounded by its internal forward chunking, not the batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every task slot, so this IS
+        # executor memory — 8g gave 32 concurrent tasks ~150 MB of
+        # execution memory each, and wide-key aggregations (dedup pair
+        # counting: 114M distinct groups at sf1.0) spilled.  24g keeps
+        # multi-million-entry per-task hash maps in memory (measured
+        # 29.2 -> 19.6 s on the dedup_jaccard aggregate alone); the
+        # sandbox has 128 GiB.  On a real cluster this maps to
+        # spark.executor.memory sizing (guide §5), env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -45,6 +45,10 @@ def fan_out(df: DataFrame, width: int | None = None) -> DataFrame:
     The partition probe compiles the physical plan but runs no job.
     Results are row-identical either way — only placement changes.
     """
+    if df.isStreaming:
+        # no partition probe on streaming plans; micro-batch
+        # parallelism is the source's concern
+        return df
     w = width or fan_width(df)
     if df.rdd.getNumPartitions() >= w:
         return df

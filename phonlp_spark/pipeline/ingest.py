@@ -58,7 +58,14 @@ def interleave_documents(flat: DataFrame) -> DataFrame:
     cycles through image/video/audio; media_ref = media://md5(doc:k).
     Offsets are the final 0-based span positions.  Entirely built-in
     expressions — stays inside WholeStageCodegen, no Python.
+
+    The flat rows are fanned out BEFORE the span-building expressions
+    (no-op on wide scans): the fixtures are single-row-group files, so
+    without this the whole interleave + downstream sentence split ran
+    inside a 1-task scan stage (measured 3.3 s serial at sf1.0).
     """
+    from phonlp_spark.ops.fanout import fan_out
+    flat = fan_out(flat)
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(SENT_TOKENS)).cast("int")
     chunk_idx = F.sequence(F.lit(0), n_chunks - 1)
@@ -106,10 +113,15 @@ def split_sentences(documents: DataFrame) -> DataFrame:
     """documents -> one row per text span: (doc_id, span_idx, sent_id, tokens).
 
     sent_id (rank among text spans) is computed *inside* the spans
-    array before exploding — no window, no shuffle; the explode is a
-    narrow transformation, so long documents fan out across whatever
-    partitioning follows (skew handling happens at sentence grain).
+    array before exploding — no window, no data-dependent shuffle; the
+    explode is a narrow transformation, so long documents fan out
+    across whatever partitioning follows (skew handling happens at
+    sentence grain).  Narrow inputs (single-file local fixtures) are
+    round-robin fanned out first so the rank/explode expressions run at
+    cluster width; on wide real-scale scans that is a no-op.
     """
+    from phonlp_spark.ops.fanout import fan_out
+    documents = fan_out(documents)
     with_rank = F.transform(
         F.col("spans"),
         lambda s, i: F.struct(

@@ -97,3 +97,24 @@ def test_matches_reference_module():
             s64 = s.astype(np.float64)
             assert np.isclose(tree_score(s64, ours), tree_score(s64, theirs))
             assert int(np.sum(ours[1:] == 0)) == 1 == int(np.sum(np.asarray(theirs)[1:] == 0))
+
+
+def test_native_solver_bit_identical_to_numpy():
+    """The C fast path (kernel/_mst_c.c) must decode the EXACT tree the
+    numpy implementation decodes — including argmax tie-breaking (first
+    max) and float summation order (numpy pairwise sum) on exact-tie
+    integer matrices.  Skipped implicitly when no compiler exists (the
+    dispatcher then routes every call to the numpy path anyway)."""
+    from phonlp_spark.kernel.mst import _mst_single_root_py, _native_fn
+    if _native_fn() is None:
+        pytest.skip("no C toolchain on this host")
+    rng = np.random.default_rng(123)
+    for trial in range(4000):
+        n = int(rng.integers(2, 15)) if trial % 10 else int(rng.integers(15, 41))
+        if trial % 3 == 0:
+            s = rng.integers(-3, 4, size=(n, n)).astype(np.float64)
+        elif trial % 3 == 1:
+            s = rng.normal(size=(n, n))
+        else:
+            s = np.round(rng.normal(size=(n, n)) * 2) / 2
+        assert np.array_equal(mst_single_root(s), _mst_single_root_py(s))

@@ -215,8 +215,11 @@ def run_suite(master: str, sf_dir: str) -> dict:
             walls = [r["wall_sec"] for r in big_recs]
             if len(walls) >= n_base:
                 # plateau rule: extend while the series is still
-                # falling >10% below everything before it
-                still_falling = walls[-1] < 0.9 * min(walls[:-1])
+                # falling >10% below everything before it (guarded for
+                # SPARK_GRAFT_BIG_RUNS=1, where walls[:-1] is empty —
+                # ADVICE r6)
+                still_falling = (len(walls) >= 2
+                                 and walls[-1] < 0.9 * min(walls[:-1]))
                 if not still_falling or len(walls) >= n_max:
                     break
         walls = [r["wall_sec"] for r in big_recs]
@@ -667,6 +670,28 @@ def run_scaling_interleaved(sf_dir: str) -> None:
         "hi_docs_per_sec": round(docs / min(hi_walls), 2),
         "edges": cold_lo["edges"],
     }
+    # conservative within-session statistic (VERDICT r6 #2): fastest
+    # clean lo wall vs fastest clean hi wall across the WHOLE session,
+    # immune to one pair's slow-lo inflation (session 9's best pair
+    # rode the session's slowest lo)
+    def _v2ok_lo(p):
+        return (p.get("lo_ext_cores") is not None
+                and p["lo_ext_cores"] <= EXT_CORES_CLEAN
+                and (p.get("lo_steal_cores") or 0.0) <= STEAL_CORES_CLEAN)
+
+    def _v2ok_hi_walls(p):
+        return [w for w, e, st in zip(p["hi_walls"],
+                                      p.get("hi_ext_cores", []),
+                                      p.get("hi_steal_cores", []))
+                if e is not None and e <= EXT_CORES_CLEAN
+                and (st or 0.0) <= STEAL_CORES_CLEAN]
+
+    lo_clean = [p["lo_wall"] for p in pairs if _v2ok_lo(p)]
+    hi_clean = [w for p in pairs for w in _v2ok_hi_walls(p)]
+    if lo_clean and hi_clean:
+        record["conservative_clean_efficiency"] = round(
+            min(lo_clean) / (4.0 * min(hi_clean)), 3)
+
     clean_effs = [p["clean_efficiency"] for p in pairs
                   if p.get("clean")]
     if any("clean" in p for p in pairs):
@@ -707,6 +732,20 @@ def run_scaling_interleaved(sf_dir: str) -> None:
                 statistics.median(clean_v3_effs), 3)
         else:
             record["session_void_v3"] = True
+        # conservative statistic under rule v3 (same shape as above)
+        lo_v3 = [p["lo_wall"] for p in v3_pairs
+                 if _v2ok_lo(p) and p["lo_dram_gbps"] >= floor["lo"]]
+        hi_v3 = [w for p in v3_pairs
+                 for w, e, st, g in zip(p["hi_walls"],
+                                        p.get("hi_ext_cores", []),
+                                        p.get("hi_steal_cores", []),
+                                        p["hi_dram_gbps"])
+                 if e is not None and e <= EXT_CORES_CLEAN
+                 and (st or 0.0) <= STEAL_CORES_CLEAN
+                 and g >= floor["hi"]]
+        if lo_v3 and hi_v3:
+            record["conservative_clean_v3_efficiency"] = round(
+                min(lo_v3) / (4.0 * min(hi_v3)), 3)
     os.makedirs("BENCH", exist_ok=True)
     try:
         with open(RUNS_JSON) as f:

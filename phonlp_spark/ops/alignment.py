@@ -235,11 +235,15 @@ def uas_las_aligned(gold: DataFrame, system: DataFrame,
     scoring many metrics over one alignment pass ``cache_registry``
     (a list) — the cached frame is appended so THEY own unpersist
     timing (the build_graph convention); without a registry the entry
-    lives until Spark's LRU storage eviction, which is bounded because
-    align_tokens builds the same canonicalized plan per (gold, system)
-    input pair.
+    lives until Spark's LRU storage eviction.  MEMORY_ONLY (not the
+    cache() default MEMORY_AND_DISK) keeps that eviction real: disk-
+    spilled blocks are never dropped by the storage LRU, so a
+    long-lived driver scoring many distinct (gold, system) pairs
+    without a registry would otherwise grow storage unboundedly
+    (ADVICE r6); an evicted block here just recomputes the walk.
     """
-    aligned = align_tokens(gold, system).cache()
+    from pyspark import StorageLevel
+    aligned = align_tokens(gold, system).persist(StorageLevel.MEMORY_ONLY)
     if cache_registry is not None:
         cache_registry.append(aligned)
     # map each side's head index to its aligned counterpart: an arc is

@@ -105,7 +105,11 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
     # (guide §2.4 — also avoids the planner broadcasting the huge pair
     # table on a post-aggregate size underestimate, the failure mode of
     # the join-back formulation).
-    shs = shf.join(sizes, "key")
+    # sz rides the pair exchange as int (a doc's shingle-set size is
+    # nowhere near 2^31): 24 B/row instead of 32 B across the ~114M-row
+    # shuffle (guide §2.3 "narrower types"); cast back to bigint after
+    # the aggregate so output types are unchanged
+    shs = shf.join(sizes.withColumn("sz", F.col("sz").cast("int")), "key")
     # per-shingle posting list, sorted so expansion emits a < b pairs;
     # keys are distinct within a shingle group (token_shingles emits
     # distinct shingles per doc), so the key order is strictly ascending
@@ -130,6 +134,9 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 5,
         .repartition(4 * fan_width(docs), "a", "b")
         .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
+        .select("a", "b", "common",
+                F.col("na").cast("bigint").alias("na"),
+                F.col("nb").cast("bigint").alias("nb"))
     )
     return (
         pairs.filter(F.lit(100) * F.col("common")

@@ -90,8 +90,10 @@ def lsh_buckets(embeddings: DataFrame, seed: int = 7,
         plane = F.array(*[F.lit(float(x)) for x in hp[p]])
         d = dot(F.col(vec_col), plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(0)
-    return embeddings.select(F.col(id_col).alias("vec_id"),
-                             bucket.cast("int").alias("bucket"))
+    # fan_out: the planes x dim dot products per row are the whole cost
+    # of every LSH-family operator; no-op on wide (real-scale) scans
+    return fan_out(embeddings).select(F.col(id_col).alias("vec_id"),
+                                      bucket.cast("int").alias("bucket"))
 
 
 def ann_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
@@ -304,7 +306,12 @@ def quantized_vecs(embeddings: DataFrame, id_col: str = "vec_id",
     """
     vq = F.transform(F.col(vec_col),
                      lambda x: F.round(x.cast("double") * 1000).cast("long"))
-    return embeddings.select(F.col(id_col).alias("vec_id"), vq.alias("vq"))
+    # fan_out (no-op on wide scans): every trained-IVF operator's
+    # corpus-side scoring is a projection over these rows; the fit
+    # itself is partitioning-invariant integer arithmetic, so the
+    # round-robin exchange cannot change any result
+    return fan_out(embeddings).select(F.col(id_col).alias("vec_id"),
+                                      vq.alias("vq"))
 
 
 def _score_q(vq, cq) -> Column:

@@ -88,16 +88,20 @@ def _worker_kernel(key: str | None, kernel_factory):
         return kernel_factory()
     kernel = _KERNEL_CACHE.get(key)
     if kernel is None:
-        kernel = kernel_factory()
         # bound the cache to the TWO most recent kernels (LRU): a
         # single-slot bound thrashes when two jobs with different
         # factories interleave on one reused worker (streaming + batch
         # on the same SparkContext alternate tasks, and each
         # alternation would rebuild potentially transformer-sized
         # weights); anything older is evicted so long-lived workers
-        # never pile up weights per distinct factory across jobs
+        # never pile up weights per distinct factory across jobs.
+        # Evict down to ONE entry BEFORE building the new kernel so
+        # peak worker memory stays at 2 weight sets (1 cached + 1 in
+        # flight), not 3 — workers are sized for the 2x steady state
+        # (ADVICE r6).
         while len(_KERNEL_CACHE) >= 2:
             _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
+        kernel = kernel_factory()
         _KERNEL_CACHE[key] = kernel
     else:
         # refresh recency so the interleaving partner, not the kernel

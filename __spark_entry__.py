@@ -692,10 +692,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the sketch constants are arguments, not baked in.  (Merged from
         the r3 dedup_lsh_pairs / dedup_lsh_pairs_wide entries: the
         driver gate sweeps at most 50 queries() entries, so parameter
-        variants share one entry via a variant tag.)"""
-        base = dedup.lsh_candidate_pairs(_docs(s, d)) \
+        variants share one entry via a variant tag.)
+
+        Both variants band over ONE shared 32-hash signature
+        aggregate: _h64's salt is the hash index, so the base sketch's
+        8 min-hashes are exactly mh0..mh7 of the wide sketch — same
+        values, same oracle (see lsh_pairs_from_signatures)."""
+        from phonlp_spark.ops.fanout import fan_out
+        sig = dedup._signatures_from_shingles(
+            dedup.token_shingles(fan_out(_docs(s, d))), 32)
+        base = dedup.lsh_pairs_from_signatures(sig, n_minhash=8, band=2) \
             .select(F.lit("base").alias("variant"), "a", "b")
-        wide = dedup.lsh_candidate_pairs(_docs(s, d), n_minhash=32, band=4) \
+        wide = dedup.lsh_pairs_from_signatures(sig, n_minhash=32, band=4) \
             .select(F.lit("wide").alias("variant"), "a", "b")
         return base.unionByName(wide)
     q["dedup_lsh_pairs"] = dedup_lsh_pairs

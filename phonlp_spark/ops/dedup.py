@@ -165,15 +165,22 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
         token_shingles(fan_out(docs), n, text_col, key_col), n_minhash)
 
 
-def _lsh_pairs_from_shingles(sh: DataFrame, n_minhash: int,
-                             band: int) -> DataFrame:
-    """Banding via ONE posexplode projection over the signature table:
-    the previous per-band select + union recomputed the signature
-    aggregate (and its n_minhash md5s per shingle row) once per band;
-    posexplode of the band-bucket array keeps a single signature
-    subtree, which the self-join's two identical exchanges then share
-    via ReusedExchange — signatures are computed once per query."""
-    sig = _signatures_from_shingles(sh, n_minhash)
+def lsh_pairs_from_signatures(sig: DataFrame, n_minhash: int,
+                              band: int) -> DataFrame:
+    """Banding candidates from a precomputed signature table (columns
+    key, mh0..mh{>=n_minhash-1}); only mh0..mh{n_minhash-1} are used.
+
+    Because _h64's salt is the hash index itself, a narrower sketch's
+    signatures are EXACTLY the first n_minhash columns of a wider
+    sketch over the same shingles — so parameter variants can share one
+    signature aggregate (dedup_lsh_pairs runs 8/2 and 32/4 over a
+    single 32-hash table: 32 instead of 40 md5 evaluations per shingle
+    row, one partial aggregate instead of two).
+
+    Banding is ONE posexplode projection: a per-band select + union
+    would recompute the signature aggregate once per band; the single
+    subtree is also what lets the self-join's two identical exchanges
+    share via ReusedExchange."""
     bucket_cols = [
         F.md5(F.concat_ws("_", *[F.col(f"mh{b * band + j}").cast("string")
                                  for j in range(band)]))
@@ -187,6 +194,12 @@ def _lsh_pairs_from_shingles(sh: DataFrame, n_minhash: int,
         .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
         .distinct()
     )
+
+
+def _lsh_pairs_from_shingles(sh: DataFrame, n_minhash: int,
+                             band: int) -> DataFrame:
+    return lsh_pairs_from_signatures(
+        _signatures_from_shingles(sh, n_minhash), n_minhash, band)
 
 
 def lsh_candidate_pairs(docs: DataFrame, n: int = 3, text_col: str = "text",

@@ -507,3 +507,67 @@ def test_lsh_multiprobe_expands_hamming1_neighborhood(spark):  # noqa: F811
     r_multi = similarity.recall_vs_exact(exact, multi, "m").collect()[0]
     r_probe = similarity.recall_vs_exact(exact, mprobe, "p").collect()[0]
     assert r_probe["recall_permille"] >= r_multi["recall_permille"]
+
+
+def test_jaccard_posting_list_formulation_matches_self_join(spark):  # noqa: F811
+    """r7 internals change: jaccard_pairs now expands per-shingle
+    posting lists instead of self-joining the shingle table.  On a
+    randomized corpus the output must equal the straightforward
+    self-join formulation row for row (including the stop-shingle
+    guard interacting with sizes)."""
+    import random
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20))))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_shingle_freq=4 makes the stop-shingle guard actually fire on
+    # this corpus (max df is 5), so the sizes/posting interaction with
+    # dropped shingles is exercised, not just the happy path
+    got = {tuple(r) for r in dedup.jaccard_pairs(
+        docs, min_pct=5, max_shingle_freq=4).collect()}
+
+    # reference formulation: shingle self-join + join-back sizes
+    sh = dedup.token_shingles(docs)
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")) \
+        .filter(F.col("df") > 4).select("shingle")
+    shf = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = shf.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (shf.alias("l").join(shf.alias("r"), "shingle")
+             .filter(F.col("l.key") < F.col("r.key"))
+             .groupBy(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    want = {tuple(r) for r in (
+        pairs.join(sizes.withColumnRenamed("key", "a")
+                   .withColumnRenamed("sz", "na"), "a")
+        .join(sizes.withColumnRenamed("key", "b")
+              .withColumnRenamed("sz", "nb"), "b")
+        .filter(F.lit(100) * F.col("common")
+                >= F.lit(5) * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("a", "b", "common", "na", "nb")).collect()}
+    assert got == want and got  # non-empty by construction
+
+
+def test_lsh_shared_wide_sketch_projects_to_narrow(spark, docs):  # noqa: F811
+    """r7 internals change: dedup_lsh_pairs bands the 8-hash sketch
+    off a shared 32-hash signature table.  Valid because _h64's salt
+    is the hash index: banding mh0..7 of the 32-hash table must give
+    exactly lsh_candidate_pairs' own 8-hash output."""
+    sig32 = dedup._signatures_from_shingles(dedup.token_shingles(docs), 32)
+    via_shared = {(r["a"], r["b"]) for r in dedup.lsh_pairs_from_signatures(
+        sig32, n_minhash=8, band=2).collect()}
+    direct = {(r["a"], r["b"])
+              for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert via_shared == direct and direct
+
+
+def test_fan_out_is_noop_on_wide_input(spark):  # noqa: F811
+    from phonlp_spark.ops.fanout import fan_out, fan_width
+    df = spark.range(1000)
+    w = fan_width(df)
+    wide = df.repartition(w + 3)
+    assert fan_out(wide) is wide                  # already wide: no-op
+    narrow = df.coalesce(1)
+    out = fan_out(narrow)
+    assert out.rdd.getNumPartitions() == w        # fanned to width
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))

@@ -38,18 +38,48 @@ def fan_width(df: DataFrame) -> int:
     return max(2 * sess.sparkContext.defaultParallelism, conf_sp)
 
 
+_PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _probe_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical plan, memoized per
+    (application, semantic plan).
+
+    The raw probe (``df.rdd.getNumPartitions()``) compiles the physical
+    plan on the driver — measured 165-300 ms per call on this host —
+    and identical queries are rebuilt several times per bench suite.
+    The memo key is the canonicalized plan hash, so logically identical
+    rebuilds skip the compile.  Staleness (files changing under an
+    unchanged path mid-session) can only mis-size the fan-out, never
+    change results; the cache is cleared when it grows past 256
+    entries."""
+    sess = df.sparkSession
+    try:
+        key = (sess.sparkContext.applicationId, df.semanticHash())
+    except Exception:
+        return df.rdd.getNumPartitions()
+    n = _PROBE_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_PROBE_CACHE) > 256:
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = n
+    return n
+
+
 def fan_out(df: DataFrame, width: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` to ``width`` when its current
     plan would run narrower than that; identity otherwise.
 
-    The partition probe compiles the physical plan but runs no job.
-    Results are row-identical either way — only placement changes.
+    The partition probe compiles the physical plan (memoized — see
+    _probe_partitions) but runs no job.  Results are row-identical
+    either way — only placement changes.
     """
     if df.isStreaming:
         # no partition probe on streaming plans; micro-batch
         # parallelism is the source's concern
         return df
     w = width or fan_width(df)
-    if df.rdd.getNumPartitions() >= w:
+    if _probe_partitions(df) >= w:
         return df
     return df.repartition(w)
